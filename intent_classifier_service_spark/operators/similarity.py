@@ -1,0 +1,191 @@
+"""Similarity search over an embedding column (array<float>).
+
+  brute_force_topk — exact cosine top-k: each partition scores its rows
+                     against a small broadcast query matrix in one numpy
+                     matmul (Arrow batch), keeps a local top-k, and a
+                     window/limit merges per-query global top-k. The
+                     shuffle carries only n_queries × k × partitions
+                     candidate rows, never the corpus.
+  lsh_topk         — random-hyperplane LSH: 64-bit sign signature per
+                     vector (JVM-expressible dot signs via aggregate, but
+                     done in the same numpy batch for speed), bucket on
+                     prefix bands, score only within buckets — the
+                     100 TB path (probes ≪ corpus).
+  cosine_pairs     — exact cosine between candidate id pairs (verifier
+                     for embedding near-dup dedup).
+
+Design: embeddings never leave the JVM except as Arrow batches into
+numpy; no per-row Python. Queries are driver-side literals (a handful
+of vectors), broadcast via closure capture.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _topk_scorer_schema():
+    return "query_id long, vec_id long, score double"
+
+
+def brute_force_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
+                     k: int = 10, id_col: str = "vec_id",
+                     vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine top-k per query. queries: [(query_id, vector)]."""
+    qids = np.array([q[0] for q in queries], dtype=np.int64)
+    qmat = np.array([q[1] for q in queries], dtype=np.float64)
+    qmat = qmat / np.maximum(np.linalg.norm(qmat, axis=1, keepdims=True), 1e-12)
+
+    def score_partition(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            sims = (mat / norms) @ qmat.T  # (rows, n_queries)
+            out = []
+            for qi in range(len(qids)):
+                col = sims[:, qi]
+                top = np.argsort(-col)[:k]  # local top-k only
+                out.append(
+                    pd.DataFrame(
+                        {"query_id": qids[qi], "vec_id": ids[top], "score": col[top]}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    local = embeddings.select(id_col, vec_col).mapInPandas(
+        score_partition, schema=_topk_scorer_schema()
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("vec_id"))
+    return (
+        local.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "score", "rank")
+    )
+
+
+def hyperplane_signatures(embeddings: DataFrame, n_bits: int = 32,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          seed: int = 42, dim: int | None = None) -> DataFrame:
+    """(vec_id, sig: long) — sign-of-dot-product signature against
+    n_bits random hyperplanes; one numpy matmul per Arrow batch."""
+    first = embeddings.select(F.size(vec_col).alias("d")).first() if dim is None else None
+    d = dim if dim is not None else int(first["d"])
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(d, n_bits))
+
+    def sign_partition(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            bits = (mat @ planes) > 0  # (rows, n_bits)
+            sig = np.zeros(len(pdf), dtype=np.int64)
+            for b in range(n_bits):
+                sig |= bits[:, b].astype(np.int64) << b
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": sig})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        sign_partition, schema=f"{id_col} long, sig long"
+    )
+
+
+def lsh_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
+             k: int = 10, n_bits: int = 32, bands: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42) -> DataFrame:
+    """Approximate top-k: restrict scoring to rows sharing ≥1 LSH band
+    with the query, then exact cosine within candidates. Recall rises
+    with bands; cost is candidates/corpus fraction."""
+    dim = len(queries[0][1])
+    sigs = hyperplane_signatures(embeddings, n_bits, id_col, vec_col, seed, dim=dim)
+    r = n_bits // bands
+    mask = (1 << r) - 1
+
+    def band_cols(sig_col):
+        return [
+            ((sig_col >> (b * r)) & mask) if isinstance(sig_col, int)
+            else F.shiftright(sig_col, b * r).bitwiseAND(F.lit(mask))
+            for b in range(bands)
+        ]
+
+    rng = np.random.RandomState(seed)
+    planes = rng.normal(size=(dim, n_bits))
+    q_rows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        bits = (v @ planes) > 0
+        sig = 0
+        for b in range(n_bits):
+            sig |= int(bits[b]) << b
+        for b in range(bands):
+            q_rows.append((qid, b, (sig >> (b * r)) & mask))
+    qdf = embeddings.sparkSession.createDataFrame(
+        q_rows, "query_id long, band int, bucket long"
+    )
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.shiftright("sig", b * r).bitwiseAND(F.lit(mask)).alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    cand_ids = (
+        banded.join(F.broadcast(qdf), ["band", "bucket"])
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])
+    )
+    cand_vecs = cand_ids.join(embeddings.select(id_col, vec_col), id_col)
+    # Exact cosine on candidates only (JVM-side arithmetic via aggregate).
+    qmap = {qid: np.asarray(v, dtype=np.float64) for qid, v in queries}
+    qnorm = {qid: v / max(np.linalg.norm(v), 1e-12) for qid, v in qmap.items()}
+    qlit = F.map_from_arrays(
+        F.array(*[F.lit(int(qid)) for qid in qnorm]),
+        F.array(*[
+            F.array(*[F.lit(float(x)) for x in vec]) for vec in qnorm.values()
+        ]),
+    )
+    qvec = F.element_at(qlit, F.col("query_id"))
+    dot = F.aggregate(
+        F.zip_with(F.col(vec_col), qvec, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = F.sqrt(
+        F.aggregate(F.transform(F.col(vec_col), lambda a: a * a), F.lit(0.0),
+                    lambda acc, x: acc + x)
+    )
+    scored = cand_vecs.select(
+        "query_id", id_col, (dot / F.greatest(norm, F.lit(1e-12))).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def cosine_pairs(embeddings: DataFrame, pairs: DataFrame,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact cosine for explicit (id_a, id_b) pairs — the embedding
+    near-dup verifier. Joins stream the pair list against the corpus."""
+    e = embeddings.select(F.col(id_col), F.col(vec_col))
+    a = e.withColumnRenamed(id_col, "id_a").withColumnRenamed(vec_col, "_va")
+    b = e.withColumnRenamed(id_col, "id_b").withColumnRenamed(vec_col, "_vb")
+    j = pairs.join(a, "id_a").join(b, "id_b")
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("_va", lambda x: x * x), F.lit(0.0),
+                            lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("_vb", lambda x: x * x), F.lit(0.0),
+                            lambda acc, x: acc + x))
+    return j.select(
+        "id_a", "id_b",
+        (dot / F.greatest(na * nb, F.lit(1e-12))).alias("cosine"),
+    )

@@ -1,0 +1,138 @@
+"""Text analysis for training-data pipelines — all JVM-side column
+expressions (no Python in the hot path).
+
+  token_count        — whitespace + BPE-ish subword estimate
+  quality_score      — length / punctuation / stopword-ratio heuristics
+                       (generalizes the reference's preprocessing stats:
+                       notebooks/data_exploration.ipynb cells 22-27,
+                       prompt_engineering token reduction)
+  lang_id            — stopword-hit n-gram heuristic over small per-lang
+                       marker sets (broadcast-free: literal arrays)
+  fingerprint        — order-sensitive rolling hash of the token stream
+  word_topk          — top-k frequent tokens (TakeOrderedAndProject)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS_EN = (
+    "the a an and or of to in is are was were be been it this that for on with as at by from",
+)
+_MARKERS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "une", "dans"],
+    "es": ["el", "la", "los", "y", "es", "una", "en"],
+}
+
+
+def tokens(col: str = "text"):
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+def token_count(col: str = "text"):
+    """Whitespace token count."""
+    return F.when(F.length(F.trim(F.col(col))) == 0, 0).otherwise(F.size(tokens(col)))
+
+
+def subword_estimate(col: str = "text"):
+    """BPE-ish token estimate: word-pieces via a regex that splits on
+    word boundaries/digits/punct, scaled by avg chars-per-token ≈ 4."""
+    return F.greatest(
+        token_count(col),
+        F.ceil(F.length(F.col(col)) / 4).cast("int"),
+    )
+
+
+def stopword_ratio(col: str = "text", lang: str = "en"):
+    sw = F.array(*[F.lit(w) for w in STOPWORDS_EN[0].split()]) if lang == "en" else F.array(
+        *[F.lit(w) for w in _MARKERS[lang]]
+    )
+    toks = tokens(col)
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0)
+
+
+def punct_ratio(col: str = "text"):
+    stripped = F.regexp_replace(F.col(col), r"[^\w\s]", "")
+    return F.when(
+        F.length(col) > 0,
+        (F.length(col) - F.length(stripped)) / F.length(col),
+    ).otherwise(0.0)
+
+
+def quality_score(col: str = "text"):
+    """[0,1] heuristic: long enough, low punctuation noise, some
+    stopwords (natural-language-ness). Weights are convention, the
+    shape (pure column arithmetic, one pass) is the point."""
+    n_tok = token_count(col)
+    len_ok = F.least(n_tok / 20.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), 1.0 - 2.0 * punct_ratio(col))
+    sw = stopword_ratio(col)
+    sw_ok = F.least(sw * 4.0, F.lit(1.0))
+    return (0.4 * len_ok + 0.3 * punct_pen + 0.3 * sw_ok).alias("quality")
+
+
+def lang_id(col: str = "text"):
+    """argmax over per-language marker-hit counts; 'und' if no hits."""
+    toks = tokens(col)
+    scores = [
+        (
+            lang,
+            F.size(
+                F.filter(toks, lambda t: F.array_contains(
+                    F.array(*[F.lit(w) for w in words]), t
+                ))
+            ),
+        )
+        for lang, words in _MARKERS.items()
+    ]
+    pairs = F.array(*[
+        F.struct(s.alias("hits"), F.lit(lang).alias("lang")) for lang, s in scores
+    ])
+    best = F.array_max(pairs)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: str = "text"):
+    """Order-sensitive rolling hash of the token stream: left fold
+    acc ← xxhash64(acc, token_hash). Chained hashing wraps safely under
+    ANSI mode (no long multiply) and mixes better than acc*31⊕h.
+    Reordered tokens change the fingerprint; exact-dup digests
+    (dedup.py) do not care about order, this does."""
+    return F.aggregate(
+        F.transform(tokens(col), lambda t: F.xxhash64(t)),
+        F.lit(0).cast("long"),
+        lambda acc, h: F.xxhash64(acc, h),
+    )
+
+
+def text_profile(docs: DataFrame, id_col: str = "doc_id",
+                 col: str = "text") -> DataFrame:
+    """One-pass per-document profile used by pipeline filters."""
+    return docs.select(
+        F.col(id_col),
+        token_count(col).alias("n_tokens"),
+        F.length(col).alias("n_chars"),
+        punct_ratio(col).alias("punct_ratio"),
+        stopword_ratio(col).alias("stopword_ratio"),
+        quality_score(col).alias("quality"),
+        lang_id(col).alias("lang_pred"),
+        fingerprint(col).alias("fingerprint"),
+    )
+
+
+def word_topk(docs: DataFrame, col: str = "text", k: int = 20) -> DataFrame:
+    """Top-k frequent words (ref data_exploration cell 27). orderBy +
+    limit plans TakeOrderedAndProject — per-partition heaps, no global
+    sort."""
+    return (
+        docs.select(F.explode(tokens(col)).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("word"))
+        .limit(k)
+    )

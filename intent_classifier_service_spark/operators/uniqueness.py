@@ -1,0 +1,55 @@
+"""doc_id uniqueness via salted two-phase hash aggregation.
+
+North rule: "doc_id uniqueness via salted hash-aggregation to defeat
+skew". A single ``groupBy(doc_id).count()`` shuffles every row on
+doc_id; with a hot duplicate key (the datagen injects one holding ~20 %
+of dupes) one reducer drowns. Two-phase:
+
+  phase 1: groupBy(doc_id, salt) partial counts — salt =
+           spark_partition_id() % n_salts spreads identical keys across
+           reducers, so no reducer sees more than input_partitions/n_salts
+           of any key's rows;
+  phase 2: groupBy(doc_id) sum of partial counts — at most n_salts rows
+           per key enter the second shuffle.
+
+AQE skew handling stays on as a backstop (session.py), but the salt
+makes worst-case reducer load bounded by construction, which AQE's
+post-hoc split cannot guarantee for aggregations (skewJoin only covers
+joins).
+
+Reference analog: the uniqueness/dedup semantics of
+drop_duplicates(subset=...) (gpt_intent_classifier.py:782) and the
+"known classes" set-building (set(...) uniqueness, :826-827).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def duplicate_doc_ids(docs: DataFrame, key: str = "doc_id", n_salts: int = 32) -> DataFrame:
+    """(doc_id, n_occurrences) for every key appearing more than once."""
+    partial = (
+        docs.select(key)
+        .withColumn("_salt", F.spark_partition_id() % n_salts)
+        .groupBy(key, "_salt")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    return (
+        partial.groupBy(key)
+        .agg(F.sum("_c").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+def uniqueness_violations(docs: DataFrame, key: str = "doc_id", n_salts: int = 32) -> DataFrame:
+    """Violation rows in the standard north-rule shape."""
+    dups = duplicate_doc_ids(docs, key, n_salts)
+    return dups.select(
+        F.col(key).alias("doc_id"),
+        F.lit("R-DOC-UNIQUE").alias("rule_id"),
+        F.lit(None).cast("int").alias("span_index"),
+        F.format_string("n_occurrences=%d", F.col("n_occurrences")).alias("observed"),
+        F.lit("doc_id unique").alias("expected"),
+    )

@@ -1,0 +1,215 @@
+"""Rule DSL + compiler.
+
+A rule is a named predicate with an observed/expected projection. The
+compiler fuses every span rule into ONE pass over the exploded spans
+(single parquet scan, single explode, whole-stage codegen; violations
+for all rules emitted from one ``filter(explode(array(...)))`` chain) —
+the engine analog of the reference compiling its checks into one
+sequential pass per response (gpt_intent_classifier.py:434-464,847-882).
+
+Outputs match the north-rule shapes exactly:
+  violations: (doc_id, rule_id, span_index, observed, expected)
+  verdicts:   (rule_id, n_checked, n_violations, violation_rate, pass)
+  per-partition verdicts add part_key in front.
+
+The pass/fail gate mirrors the reference's load gate (valid ≥ 95 % ∧
+accuracy ≥ 0.80 → start; gpt_intent_classifier.py:396-398): per-rule
+``violation_rate ≤ max_rate`` with an overall AND.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import spans as S
+
+VIOLATION_COLS = ("doc_id", "rule_id", "span_index", "observed", "expected")
+
+
+@dataclass(frozen=True)
+class SpanRule:
+    """Predicate over one exploded span row.
+
+    ``violated`` / ``observed`` receive the exploded frame's columns via
+    F.col: kind, text, media_ref, offset, prev_offset, span_index.
+    """
+
+    rule_id: str
+    violated: Callable[[], Column]
+    observed: Callable[[], Column]
+    expected: str
+
+
+@dataclass(frozen=True)
+class DocRule:
+    """Predicate over one document row (doc-level columns, or the whole
+    spans array). span_index is NULL on its violations."""
+
+    rule_id: str
+    violated: Callable[[], Column]
+    observed: Callable[[], Column]
+    expected: str
+
+
+def _null_safe_violated(rule_violated: Column) -> Column:
+    return F.coalesce(rule_violated, F.lit(False))
+
+
+# ------------------------------------------------------------ core rule set
+
+SPAN_RULES: list[SpanRule] = [
+    SpanRule(
+        "R-SPAN-KIND",
+        violated=lambda: ~F.col("kind").isin(*S.VALID_KINDS) | F.col("kind").isNull(),
+        observed=lambda: F.coalesce(F.col("kind"), F.lit("<null>")),
+        expected="kind in {text,media}",
+    ),
+    SpanRule(
+        "R-SPAN-MUTEX",
+        violated=lambda: (
+            ((F.col("kind") == "text") & (F.col("text").isNull() | F.col("media_ref").isNotNull()))
+            | ((F.col("kind") == "media") & (F.col("media_ref").isNull() | F.col("text").isNotNull()))
+        ),
+        observed=lambda: F.format_string(
+            "text=%s,media_ref=%s",
+            F.coalesce(F.col("text"), F.lit("<null>")),
+            F.coalesce(F.col("media_ref"), F.lit("<null>")),
+        ),
+        expected="exactly one of text/media_ref set, matching kind",
+    ),
+    SpanRule(
+        "R-SPAN-MONO",
+        violated=lambda: F.col("prev_offset").isNotNull()
+        & (F.col("offset") <= F.col("prev_offset")),
+        observed=lambda: F.format_string(
+            "offset=%d,prev=%d", F.col("offset"), F.col("prev_offset")
+        ),
+        expected="offset strictly increasing",
+    ),
+]
+
+DOC_RULES: list[DocRule] = [
+    DocRule(
+        "R-DOC-ID-NOTNULL",
+        violated=lambda: F.col("doc_id").isNull() | (F.length(F.trim(F.col("doc_id"))) == 0),
+        observed=lambda: F.coalesce(F.col("doc_id"), F.lit("<null>")),
+        expected="doc_id non-null, non-blank",
+    ),
+    DocRule(
+        "R-DOC-SPANS-NONEMPTY",
+        violated=lambda: F.col("spans").isNull() | (F.size("spans") == 0),
+        observed=lambda: F.format_string("n_spans=%d", F.coalesce(F.size("spans"), F.lit(-1))),
+        expected="spans non-empty",
+    ),
+]
+
+
+@dataclass
+class RuleSet:
+    span_rules: list[SpanRule] = field(default_factory=lambda: list(SPAN_RULES))
+    doc_rules: list[DocRule] = field(default_factory=lambda: list(DOC_RULES))
+    max_violation_rate: float = 0.05  # reference: valid ≥ 95 %
+
+    def rule_ids(self) -> list[str]:
+        return [r.rule_id for r in self.span_rules] + [r.rule_id for r in self.doc_rules]
+
+
+# ------------------------------------------------------------------ compiler
+
+def _emit(rules, unit_df: DataFrame, span_index_col: Column, keep: list[str]) -> DataFrame:
+    """Fuse all rules over one frame: per row build an array with one
+    nullable struct per rule, drop nulls, explode. Single codegen stage."""
+    entries = [
+        F.when(
+            _null_safe_violated(r.violated()),
+            F.struct(
+                F.lit(r.rule_id).alias("rule_id"),
+                r.observed().alias("observed"),
+                F.lit(r.expected).alias("expected"),
+            ),
+        )
+        for r in rules
+    ]
+    hits = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    return (
+        unit_df.select(*keep, span_index_col.alias("span_index"), hits.alias("_hits"))
+        .filter(F.size("_hits") > 0)
+        .select(*keep, "span_index", F.explode("_hits").alias("v"))
+        .select(
+            *keep,
+            F.col("v.rule_id").alias("rule_id"),
+            F.col("span_index"),
+            F.col("v.observed").alias("observed"),
+            F.col("v.expected").alias("expected"),
+        )
+    )
+
+
+def violations(docs: DataFrame, rules: RuleSet | None = None,
+               keep: tuple[str, ...] = ()) -> DataFrame:
+    """All violation rows for the rule set. ``keep`` adds passthrough
+    columns (e.g. part_key) in front of the standard shape."""
+    rules = rules or RuleSet()
+    keep_cols = ["doc_id", *keep]
+    exploded = S.explode_spans(docs, keep=tuple(keep_cols))
+    span_v = _emit(rules.span_rules, exploded, F.col("span_index").cast("int"), keep_cols)
+    doc_v = _emit(rules.doc_rules, docs, F.lit(None).cast("int"), keep_cols)
+    out_cols = [*keep, *VIOLATION_COLS] if keep else list(VIOLATION_COLS)
+    return span_v.select(*out_cols).unionByName(doc_v.select(*out_cols))
+
+
+def verdicts(docs: DataFrame, rules: RuleSet | None = None,
+             by: tuple[str, ...] = ()) -> DataFrame:
+    """Per-rule (optionally per-partition, by=('part_key',)) verdicts in
+    ONE aggregation pass: conditional sums per rule on the exploded frame
+    plus doc-level sums, then unpivot with stack."""
+    rules = rules or RuleSet()
+    exploded = S.explode_spans(docs, keep=("doc_id", *by))
+
+    span_aggs = [F.count(F.lit(1)).alias("_n_spans")] + [
+        F.sum(_null_safe_violated(r.violated()).cast("long")).alias(f"_v_{r.rule_id}")
+        for r in rules.span_rules
+    ]
+    doc_aggs = [F.count(F.lit(1)).alias("_n_docs")] + [
+        F.sum(_null_safe_violated(r.violated()).cast("long")).alias(f"_v_{r.rule_id}")
+        for r in rules.doc_rules
+    ]
+    gb = list(by)
+    span_tot = exploded.groupBy(*gb).agg(*span_aggs)
+    doc_tot = docs.groupBy(*gb).agg(*doc_aggs)
+
+    def unpivot(tot: DataFrame, rule_list, n_col: str) -> DataFrame:
+        stack_args = ", ".join(
+            f"'{r.rule_id}', `_v_{r.rule_id}`" for r in rule_list
+        )
+        return tot.selectExpr(
+            *gb,
+            f"stack({len(rule_list)}, {stack_args}) as (rule_id, n_violations)",
+            f"{n_col} as n_checked",
+        )
+
+    both = unpivot(span_tot, rules.span_rules, "_n_spans").unionByName(
+        unpivot(doc_tot, rules.doc_rules, "_n_docs")
+    )
+    rate = F.when(F.col("n_checked") > 0,
+                  F.col("n_violations") / F.col("n_checked")).otherwise(F.lit(0.0))
+    return both.select(
+        *gb,
+        "rule_id",
+        "n_checked",
+        "n_violations",
+        rate.alias("violation_rate"),
+        (rate <= rules.max_violation_rate).alias("pass"),
+    )
+
+
+def gate(verdicts_df: DataFrame) -> bool:
+    """Driver-side overall pass/fail — the engine's 'server starts'
+    decision (reference server.py:177-185). Collects only the tiny
+    verdict table."""
+    row = verdicts_df.agg(F.min(F.col("pass").cast("int")).alias("all_pass")).collect()[0]
+    return bool(row["all_pass"] == 1 if row["all_pass"] is not None else True)

@@ -1,0 +1,70 @@
+"""Readers/writers.
+
+Parquet today; the interfaces are Iceberg-shaped (snapshot pinning,
+writeTo-style appends) so a real catalog drops in. Fixed declared
+schemas everywhere — the reference never infers (positional TSV names,
+gpt_intent_classifier.py:368-369), and neither do we.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+DOCUMENTS_SPANS_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField(
+        "spans",
+        T.ArrayType(
+            T.StructType([
+                T.StructField("kind", T.StringType(), True),
+                T.StructField("text", T.StringType(), True),
+                T.StructField("media_ref", T.StringType(), True),
+                T.StructField("offset", T.IntegerType(), True),
+            ])
+        ),
+        True,
+    ),
+    T.StructField("part_key", T.IntegerType(), True),
+])
+
+ATIS_TSV_TRAIN_SCHEMA = T.StructType([
+    T.StructField("user_prompt", T.StringType(), True),
+    T.StructField("intents", T.StringType(), True),
+])
+ATIS_TSV_TEST_SCHEMA = T.StructType([
+    T.StructField("user_prompt", T.StringType(), True),
+    T.StructField("actual_intents", T.StringType(), True),
+])
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """One testdata parquet table."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def read_tsv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
+    """Headerless TSV with positional schema — the reference's source
+    format (S1/S2, gpt_intent_classifier.py:368-369)."""
+    return spark.read.schema(schema).option("sep", "\t").option("header", "false").csv(path)
+
+
+def write_violations(df: DataFrame, path: str, mode: str = "overwrite",
+                     partition_by: tuple[str, ...] = ()) -> None:
+    """Violation/verdict sink — parquet partitioned by rule_id so
+    downstream triage prunes by rule. (Iceberg: df.writeTo(t).append().)"""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
+
+
+def read_documents_spans(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.schema(DOCUMENTS_SPANS_SCHEMA).parquet(path)

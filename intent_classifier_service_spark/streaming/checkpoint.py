@@ -1,0 +1,96 @@
+"""Resumable runs: a checkpoint table keyed by partition.
+
+North rule: "resumable from an Iceberg checkpoint table keyed by
+partition, carrying per-partition lineage (snapshot-id, files read,
+rule versions) and metrics". The sandbox has no Iceberg runtime jar, so
+the store is parquet-backed with identical semantics (append-only
+status rows, latest-wins by completed_at); the write path is isolated
+behind ``CheckpointStore`` so an Iceberg catalog drops in by replacing
+two methods (`_read`, `_append` → `writeTo(...).append()`).
+
+This promotes the reference's in-memory failure bookkeeping — the
+`positions` lists of failed responses (gpt_intent_classifier.py:865,
+875) — to durable, partition-keyed state: a restarted run anti-joins
+pending partitions against completed ones and re-validates only those.
+
+Schema:
+  part_key int, status string, snapshot_id string, files_read int,
+  rule_version string, n_docs long, n_violations long,
+  run_id string, completed_at string
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHECKPOINT_SCHEMA = (
+    "part_key int, status string, snapshot_id string, files_read int, "
+    "rule_version string, n_docs long, n_violations long, "
+    "run_id string, completed_at string"
+)
+
+
+class CheckpointStore:
+    def __init__(self, spark: SparkSession, path: str, rule_version: str = "v1"):
+        self.spark = spark
+        self.path = path
+        self.rule_version = rule_version
+        self.run_id = uuid.uuid4().hex[:12]
+
+    # -- storage primitives (swap for Iceberg writeTo in production) ----
+    def _read(self) -> DataFrame:
+        if not os.path.exists(self.path):
+            return self.spark.createDataFrame([], CHECKPOINT_SCHEMA)
+        return self.spark.read.schema(CHECKPOINT_SCHEMA).parquet(self.path)
+
+    def _append(self, df: DataFrame) -> None:
+        df.write.mode("append").parquet(self.path)
+
+    # -- semantics -------------------------------------------------------
+    def completed_partitions(self) -> DataFrame:
+        """Latest status per part_key == 'done' for this rule version.
+        Append-only log → latest-wins via max(completed_at)."""
+        log = self._read().filter(F.col("rule_version") == self.rule_version)
+        latest = log.groupBy("part_key").agg(
+            F.max(F.struct("completed_at", "status")).alias("s")
+        )
+        return latest.filter(F.col("s.status") == "done").select("part_key")
+
+    def pending_partitions(self, all_parts: DataFrame) -> DataFrame:
+        """all_parts (part_key) anti-join completed → what to validate."""
+        return all_parts.join(self.completed_partitions(), "part_key", "left_anti")
+
+    def mark_done(self, part_key: int, snapshot_id: str, files_read: int,
+                  n_docs: int, n_violations: int) -> None:
+        row = self.spark.createDataFrame(
+            [(
+                part_key, "done", snapshot_id, files_read, self.rule_version,
+                n_docs, n_violations, self.run_id,
+                # driver-side wall clock is fine for ordering within a store
+                __import__("datetime").datetime.utcnow().isoformat(),
+            )],
+            CHECKPOINT_SCHEMA,
+        )
+        self._append(row)
+
+    def mark_done_bulk(self, stats: DataFrame, snapshot_id: str) -> None:
+        """stats: (part_key, n_docs, n_violations) — one append for all
+        partitions of a run (the per-partition loop is for selective
+        resume; the happy path checkpoints once)."""
+        now = __import__("datetime").datetime.utcnow().isoformat()
+        rows = stats.select(
+            F.col("part_key").cast("int"),
+            F.lit("done").alias("status"),
+            F.lit(snapshot_id).alias("snapshot_id"),
+            F.lit(1).alias("files_read"),
+            F.lit(self.rule_version).alias("rule_version"),
+            F.col("n_docs").cast("long"),
+            F.col("n_violations").cast("long"),
+            F.lit(self.run_id).alias("run_id"),
+            F.lit(now).alias("completed_at"),
+        )
+        self._append(rows)

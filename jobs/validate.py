@@ -1,0 +1,123 @@
+"""End-to-end validation job — the engine's EP1 (reference service
+startup: load → evaluate → threshold gate → start/refuse,
+server.py:140-185, gpt_intent_classifier.py:318-403).
+
+spark-submit --py-files engine.zip jobs/validate.py \
+    --input <parquet of (doc_id, spans, part_key)> \
+    --output <dir> [--checkpoint <dir>] [--resume] [--n-docs 100000]
+
+Exit code 0 iff every rule passes (the 'server starts' decision);
+1 otherwise. Violations, verdicts, and stats land under --output.
+Resumable: with --checkpoint, completed partitions are skipped on rerun.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from intent_classifier_service_spark import datagen  # noqa: E402
+from intent_classifier_service_spark.operators import drift, referential, stats, uniqueness  # noqa: E402
+from intent_classifier_service_spark.plans import rules as R  # noqa: E402
+from intent_classifier_service_spark.session import get_spark  # noqa: E402
+from intent_classifier_service_spark.sources import tables  # noqa: E402
+from intent_classifier_service_spark.streaming.checkpoint import CheckpointStore  # noqa: E402
+
+
+def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = None,
+        resume: bool = False) -> dict:
+    t0 = time.time()
+    if store is not None and resume:
+        all_parts = docs.select("part_key").distinct()
+        pending = store.pending_partitions(all_parts)
+        docs = docs.join(F.broadcast(pending), "part_key", "left_semi")
+
+    # Explicit repartition by doc_id hash (north rule) — evens out skew
+    # from the hot part_key before the multi-action validation pass, and
+    # persist so the N downstream actions reuse one shuffle instead of
+    # re-shuffling the input N times. At 100 TB you would NOT persist:
+    # each rule family re-scans parquet (cheaper than caching), the span
+    # rules are already fused into one scan (plans/rules.py), and only
+    # uniqueness/referential shuffle — on narrow projected columns.
+    docs = docs.repartition(
+        int(spark.conf.get("spark.sql.shuffle.partitions")), F.col("doc_id")
+    ).persist()
+    n_docs = docs.count()
+
+    v_rules = R.violations(docs, keep=("part_key",))
+    v_ref = referential.referential_violations(docs, valid_refs).withColumn(
+        "part_key", F.lit(None).cast("int")
+    )
+    v_uniq = uniqueness.uniqueness_violations(docs).withColumn(
+        "part_key", F.lit(None).cast("int")
+    )
+    cols = ["part_key", *R.VIOLATION_COLS]
+    all_v = v_rules.select(cols).unionByName(v_ref.select(cols)).unionByName(v_uniq.select(cols))
+    tables.write_violations(all_v, os.path.join(output, "violations"),
+                            partition_by=("rule_id",))
+
+    vd = R.verdicts(docs)
+    vd_part = R.verdicts(docs, by=("part_key",))
+    tables.write_violations(vd, os.path.join(output, "verdicts"))
+    tables.write_violations(vd_part, os.path.join(output, "verdicts_by_partition"))
+
+    st = stats.column_stats(docs, ["doc_id", "spans"], by=("part_key",))
+    tables.write_violations(st, os.path.join(output, "column_stats"))
+
+    baseline_kind = drift.span_kind_frequencies(docs)
+    # self-drift ≡ 0 on a fresh run; real deployments load the frozen one
+    drift_rows = drift.drift_verdicts(docs, baseline_kind,
+                                      drift.offset_histogram(docs, 0, 128),
+                                      lo=0, hi=128)
+
+    gate_pass = R.gate(vd) and all(d["pass"] for d in drift_rows)
+
+    if store is not None:
+        part_stats = (
+            vd_part.groupBy("part_key")
+            .agg(F.max("n_checked").alias("n_docs"), F.sum("n_violations").alias("n_violations"))
+        )
+        store.mark_done_bulk(part_stats, snapshot_id="parquet-v0")
+
+    docs.unpersist()
+    wall = time.time() - t0
+    return {
+        "n_docs": n_docs,
+        "gate_pass": bool(gate_pass),
+        "wall_sec": wall,
+        "docs_per_sec": n_docs / wall if wall > 0 else None,
+        "drift": drift_rows,
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None, help="parquet of (doc_id, spans, part_key); default: synthetic")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--n-docs", type=int, default=100_000)
+    args = ap.parse_args()
+
+    spark = get_spark("validate")
+    docs = (
+        tables.read_documents_spans(spark, args.input)
+        if args.input
+        else datagen.documents_spans(spark, args.n_docs)
+    )
+    refs = datagen.valid_media_refs(spark)
+    store = CheckpointStore(spark, args.checkpoint) if args.checkpoint else None
+    result = run(spark, docs, refs, args.output, store, args.resume)
+    print(json.dumps(result))
+    return 0 if result["gate_pass"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

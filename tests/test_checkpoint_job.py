@@ -1,0 +1,54 @@
+"""Resume semantics (SURVEY §5: kill after k partitions → rerun →
+identical final verdicts, no partition validated twice) + the
+end-to-end validate job."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from intent_classifier_service_spark import datagen
+from intent_classifier_service_spark.streaming.checkpoint import CheckpointStore
+from jobs import validate
+
+
+def test_pending_partitions_anti_join(spark, tmp_path):
+    store = CheckpointStore(spark, str(tmp_path / "ckpt"))
+    all_parts = spark.createDataFrame([(i,) for i in range(4)], "part_key int")
+    assert store.pending_partitions(all_parts).count() == 4
+    store.mark_done(0, "snap-1", 1, 100, 2)
+    store.mark_done(2, "snap-1", 1, 50, 0)
+    pending = sorted(r["part_key"] for r in store.pending_partitions(all_parts).collect())
+    assert pending == [1, 3]
+
+
+def test_rule_version_isolation(spark, tmp_path):
+    path = str(tmp_path / "ckpt2")
+    v1 = CheckpointStore(spark, path, rule_version="v1")
+    v1.mark_done(0, "snap-1", 1, 10, 0)
+    v2 = CheckpointStore(spark, path, rule_version="v2")
+    all_parts = spark.createDataFrame([(0,)], "part_key int")
+    # new rule version must re-validate everything
+    assert v2.pending_partitions(all_parts).count() == 1
+    assert v1.pending_partitions(all_parts).count() == 0
+
+
+def test_validate_job_end_to_end_and_resume(spark, tmp_path):
+    docs = datagen.documents_spans(spark, 3000)
+    refs = datagen.valid_media_refs(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    store = CheckpointStore(spark, ckpt)
+    r1 = validate.run(spark, docs, refs, out, store)
+    assert r1["gate_pass"] is True
+    assert r1["n_docs"] == 3000
+
+    violations = spark.read.parquet(os.path.join(out, "violations"))
+    assert violations.filter(F.col("rule_id") == "R-SPAN-KIND").count() > 0
+    assert violations.filter(F.col("rule_id") == "R-REF-MEDIA").count() > 0
+    assert violations.filter(F.col("rule_id") == "R-DOC-UNIQUE").count() > 0
+
+    # resume: everything checkpointed → second run validates 0 docs
+    store2 = CheckpointStore(spark, ckpt)
+    r2 = validate.run(spark, docs, refs, str(tmp_path / "out2"), store2, resume=True)
+    assert r2["n_docs"] == 0

@@ -1,0 +1,91 @@
+import numpy as np
+from pyspark.sql import functions as F
+
+from intent_classifier_service_spark.operators import dedup, similarity
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "The quick  brown fox jumps over the lazy dog"),  # exact dup mod ws/case
+    (3, "the quick brown fox jumps over the lazy cat"),   # near dup
+    (4, "completely different text about spark engines"),
+    (5, "completely different text about spark engines"),  # exact dup
+    (6, "short"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_duplicates(spark):
+    groups = dedup.exact_duplicates(_docs(spark)).collect()
+    sets = sorted(tuple(g["dup_ids"]) for g in groups)
+    assert sets == [(1, 2), (4, 5)]
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    out = sorted(r["doc_id"] for r in dedup.exact_dedup(_docs(spark)).collect())
+    assert out == [1, 3, 4, 6]
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got   # identical after normalization → jaccard 1.0
+    assert (4, 5) in got
+    assert (1, 3) in got or (2, 3) in got  # near dup above 0.5
+    assert all(a < b for a, b in got)
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = dedup.minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (4, 5) in got
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs}
+    assert est[(1, 2)] == 1.0  # identical signatures
+
+
+def test_simhash_near_pairs(spark):
+    pairs = dedup.simhash_near_pairs(_docs(spark), max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (4, 5) in got
+    ham = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs}
+    assert ham[(1, 2)] == 0 and ham[(4, 5)] == 0
+
+
+def _embeddings(spark, n=50, d=8, seed=0):
+    rng = np.random.RandomState(seed)
+    mat = rng.normal(size=(n, d))
+    rows = [(i, mat[i].tolist()) for i in range(n)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>"), mat
+
+
+def test_brute_force_topk_matches_numpy(spark):
+    df, mat = _embeddings(spark)
+    q = mat[7]
+    got = similarity.brute_force_topk(df, [(7, q.tolist())], k=5).collect()
+    norm = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = norm @ (q / np.linalg.norm(q))
+    expected = np.argsort(-sims)[:5].tolist()
+    assert [r["vec_id"] for r in sorted(got, key=lambda r: r["rank"])] == expected
+    assert got[0]["score"] > 0.999  # self-match first
+
+
+def test_lsh_topk_self_recall(spark):
+    df, mat = _embeddings(spark)
+    got = similarity.lsh_topk(df, [(7, mat[7].tolist())], k=5, n_bits=16, bands=8)
+    rows = got.collect()
+    # the query vector itself must land in its own buckets → rank 1
+    best = min(rows, key=lambda r: r["rank"])
+    assert best["vec_id"] == 7 and best["score"] > 0.999
+
+
+def test_cosine_pairs(spark):
+    df, mat = _embeddings(spark)
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in similarity.cosine_pairs(df, pairs).collect()}
+    for a, b in [(1, 2), (3, 4)]:
+        exp = float(mat[a] @ mat[b] / (np.linalg.norm(mat[a]) * np.linalg.norm(mat[b])))
+        assert abs(got[(a, b)] - exp) < 1e-9

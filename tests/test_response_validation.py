@@ -1,0 +1,46 @@
+"""Validator verdict table from the reference's
+server_launch_examples.ipynb cells 4-16 (SURVEY §5 item 3), vectorized."""
+
+from intent_classifier_service_spark import datagen
+from intent_classifier_service_spark.operators import response_validation as RV
+
+# (response, expected_valid) — domain = labels 0..16
+CASES = [
+    ("[3, 1, 5]", True),
+    ("   [3,  1, 5  ]", True),   # whitespace accepted
+    ("[3, 99, 5]", False),        # out-of-domain label
+    ("[3, 1, ]", False),
+    ("3, 1, 2", False),
+    ("[@, 3, 2 1]", False),
+    ("['flight','airfare','city']", False),
+    ("flight intent detected", False),  # prose (malformed_responses.txt)
+    ("[0, 0, 16]", True),
+]
+
+
+def test_validator_verdicts(spark):
+    df = spark.createDataFrame([(i, c) for i, (c, _) in enumerate(CASES)],
+                               "id int, raw_response string")
+    labels = datagen.intent_labels(spark)
+    got = {r["id"]: r["valid"] for r in RV.validate_responses(df, labels).collect()}
+    for i, (resp, expected) in enumerate(CASES):
+        assert got[i] == expected, resp
+
+
+def test_labels_to_intents_preserves_order(spark):
+    df = spark.createDataFrame([(1, "[2, 0, 1]")], "id int, raw_response string")
+    labels = datagen.intent_labels(spark)
+    validated = RV.validate_responses(df, labels)
+    out = RV.labels_to_intents(validated, labels).collect()[0]
+    assert out["pred_intents"] == ["airfare", "flight", "flight_time"]
+
+
+def test_validity_verdict_gate(spark):
+    df = spark.createDataFrame([(i, c) for i, (c, _) in enumerate(CASES)],
+                               "id int, raw_response string")
+    labels = datagen.intent_labels(spark)
+    v = RV.validity_verdict(RV.validate_responses(df, labels)).collect()[0]
+    n_valid = sum(1 for _, e in CASES if e)
+    assert v["n_checked"] == len(CASES)
+    assert v["n_valid"] == n_valid
+    assert v["pass"] == (n_valid / len(CASES) >= 0.95)

@@ -1,0 +1,62 @@
+from pyspark.sql import functions as F
+
+from intent_classifier_service_spark.operators import multimodal, textstats
+
+
+def test_text_profile(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox is in the barn"),
+            (2, "!!! ??? ..."),
+            (3, "der hund ist nicht da und die katze"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in textstats.text_profile(df).collect()}
+    assert got[1]["n_tokens"] == 8
+    assert got[1]["lang_pred"] == "en"
+    assert got[3]["lang_pred"] == "de"
+    assert got[2]["punct_ratio"] > 0.5
+    assert got[2]["quality"] < got[1]["quality"]
+    assert got[4]["n_tokens"] == 0
+
+
+def test_fingerprint_is_order_sensitive(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "c b a"), (3, "a b c")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["fp"] for r in
+           df.select("doc_id", textstats.fingerprint().alias("fp")).collect()}
+    assert got[1] == got[3]
+    assert got[1] != got[2]
+
+
+def test_word_topk(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b b c")], "doc_id long, text string"
+    )
+    got = [(r["word"], r["n"]) for r in textstats.word_topk(df, k=2).collect()]
+    assert got == [("a", 3), ("b", 2)]
+
+
+def test_image_feature_plumbing(spark):
+    docs = spark.createDataFrame(
+        [("d1", "media-00001"), ("d2", "media-00002"), ("d3", None)],
+        "doc_id string, media_ref string",
+    )
+    media = multimodal.attach_fake_payloads(docs)
+    feats = {r["doc_id"]: r for r in multimodal.extract_image_features(media).collect()}
+    assert feats["d1"]["decode_error"] is None
+    assert feats["d1"]["width"] == 4 and feats["d1"]["height"] == 4
+    assert 0 <= feats["d1"]["mean_r"] <= 255
+    assert feats["d3"]["decode_error"] is not None  # null payload → violation row
+    # determinism: same ref → same features
+    again = {r["doc_id"]: r for r in multimodal.extract_image_features(media).collect()}
+    assert again["d1"]["mean_r"] == feats["d1"]["mean_r"]
+
+
+def test_frame_sample_plan(spark):
+    media = spark.createDataFrame([("d1", 25)], "doc_id string, n_frames int")
+    got = multimodal.frame_sample_plan(media, every_n=10).collect()[0]
+    assert got["frame_indices"] == [0, 10, 20]
