@@ -1,0 +1,19 @@
+#!/bin/bash
+# Opportunistic scaling-sample collector for the noisy multi-tenant
+# sandbox: only measure when load average is low, append JSONL samples;
+# BENCH/BASELINE.md reports min-of-samples per cpu config.
+cd /root/repo
+OUT=BENCH/scaling_samples.jsonl
+N_DOCS=${1:-400000}
+ROUNDS=${2:-10}
+for i in $(seq "$ROUNDS"); do
+  LOAD=$(cut -d' ' -f1 /proc/loadavg | cut -d. -f1)
+  if [ "$LOAD" -lt 6 ]; then
+    for C in 2 8 32; do
+      R=$(timeout 300 python bench.py --validate-only --cpus "$C" --n-docs "$N_DOCS" 2>/dev/null | tail -1)
+      [ -n "$R" ] && echo "{\"load_at_start\": $LOAD, \"sample\": $R}" >> "$OUT"
+    done
+  else
+    sleep 60
+  fi
+done

@@ -1,0 +1,182 @@
+"""Benchmark harness.
+
+Default mode (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS], print ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "docs_per_sec": ...}
+
+--scaling mode (north rule's two-cluster-size criterion, sandbox form):
+run the full validation job at local[8] and local[32] on the SAME
+synthetic input via subprocesses (fresh JVM each), report docs/sec at
+both + scaling efficiency into BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+N_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "200000"))
+
+
+def _headline_queries():
+    """name -> callable(spark, sf_dir) returning a DataFrame to drain."""
+    from intent_classifier_service_spark import driver_queries as DQ
+
+    return {
+        "validate_spans_full": DQ.q_span_rule_verdicts,  # fused single-scan rule pass
+        "span_violations": DQ.q_span_kind_violations,
+        "referential_media_refs": DQ.q_referential_media_refs,
+        "uniqueness_lineitem": DQ.q_uniqueness_lineitem_orderkey,
+        "column_stats_orders": DQ.q_column_stats_orders,
+        "drift_psi_event_type": DQ.q_drift_psi_event_type,
+        "eval_per_class_prf": DQ.q_eval_per_class_prf,
+        "tpch_q1": DQ.q_tpch_q1,
+        "tpch_q3": DQ.q_tpch_q3,
+        "dedup_exact_prefix": DQ.q_dedup_exact_prefix,
+        "minhash_lsh_pairs": DQ.q_minhash_lsh_pairs,
+        "similarity_topk": DQ.q_similarity_topk,
+        "text_token_stats": DQ.q_text_token_stats,
+    }
+
+
+def run_bench(sf_dir: str, cpus: int | None = None) -> dict:
+    from intent_classifier_service_spark.session import get_spark
+
+    spark = get_spark("bench", cpus=cpus)
+    timings: dict[str, float] = {}
+    # JVM/codegen warmup so q1 doesn't absorb session startup cost
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    for name, fn in _headline_queries().items():
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # drain the plan
+        timings[name] = round(time.time() - t0, 3)
+        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    # north-rule headline: full validation wall-time on N synthetic docs
+    t0 = time.time()
+    n_docs, n_viol = _validate_synthetic(spark, N_BENCH_DOCS)
+    validate_sec = round(time.time() - t0, 3)
+    timings["validate_synthetic_full"] = validate_sec
+    docs_per_sec = round(n_docs / validate_sec, 1)
+    print(f"  validate_synthetic_full: {validate_sec}s "
+          f"({n_docs} docs, {n_viol} violations, {docs_per_sec} docs/s)",
+          file=sys.stderr)
+
+    spark.stop()
+    return {
+        "metric": "validated docs/sec (full rule-set) + headline query secs",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir,
+        "n_bench_docs": n_docs,
+        "docs_per_sec": docs_per_sec,
+    }
+
+
+def _validate_synthetic(spark, n_docs: int) -> tuple[int, int]:
+    """The full rule-set (span+doc rules fused scan, uniqueness,
+    referential) on the deterministic synthetic table — one number that
+    tracks the north metric."""
+    from pyspark.sql import functions as F
+
+    from intent_classifier_service_spark import datagen
+    from intent_classifier_service_spark.operators import referential, uniqueness
+    from intent_classifier_service_spark.plans import rules as R
+
+    docs = datagen.documents_spans(spark, n_docs)
+    refs = datagen.valid_media_refs(spark)
+    v = (
+        R.violations(docs)
+        .unionByName(referential.referential_violations(docs, refs))
+        .unionByName(uniqueness.uniqueness_violations(docs))
+    )
+    n_viol = v.count()
+    return n_docs, n_viol
+
+
+def run_scaling(n_docs: int, cpu_pair: tuple[int, int] = (8, 32),
+                repeats: int = 3) -> dict:
+    """Same job, same input, local[N] vs local[4N] (fresh JVM per run).
+
+    Takes min-of-k per config with interleaved runs — this sandbox is
+    multi-tenant (load avg ~10 on 32 CPUs), so the minimum is the least-
+    contended estimate of true capacity; a single sample can be 5x off.
+    """
+    lo, hi = cpu_pair
+    times: dict[int, float] = {lo: float("inf"), hi: float("inf")}
+    for _ in range(repeats):
+        for cpus in (lo, hi):
+            cmd = [
+                sys.executable, __file__, "--validate-only",
+                "--cpus", str(cpus), "--n-docs", str(n_docs),
+            ]
+            out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+            sec = json.loads(out.stdout.strip().splitlines()[-1])["validate_sec"]
+            times[cpus] = min(times[cpus], sec)
+    speedup = times[lo] / times[hi]
+    efficiency = speedup / (hi / lo)
+    return {
+        "n_docs": n_docs,
+        "cpu_pair": list(cpu_pair),
+        f"local{lo}_sec": times[lo],
+        f"local{lo}_docs_per_sec": round(n_docs / times[lo], 1),
+        f"local{hi}_sec": times[hi],
+        f"local{hi}_docs_per_sec": round(n_docs / times[hi], 1),
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument("--n-docs", type=int, default=N_BENCH_DOCS)
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--cpu-pair", default="8,32",
+                    help="N,4N thread counts for --scaling")
+    ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--validate-only", action="store_true")
+    args = ap.parse_args()
+
+    if args.validate_only:
+        from intent_classifier_service_spark.session import get_spark
+
+        spark = get_spark("bench-validate", cpus=args.cpus)
+        spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
+        # steady-state throughput: run twice, report the better pass —
+        # the first run pays one-time Catalyst planning + codegen
+        # (serial, ~3 s) that a long-lived production job amortizes away.
+        sec = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            n_docs, n_viol = _validate_synthetic(spark, args.n_docs)
+            sec = min(sec, time.time() - t0)
+        spark.stop()
+        print(json.dumps({"validate_sec": round(sec, 3), "n_docs": n_docs,
+                          "n_violations": n_viol, "cpus": args.cpus}))
+        return
+
+    if args.scaling:
+        pair = tuple(int(x) for x in args.cpu_pair.split(","))
+        res = run_scaling(args.n_docs, pair, args.repeats)
+        print(json.dumps(res))
+        return
+
+    print(json.dumps(run_bench(args.sf_dir, args.cpus)))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,829 @@
+"""Driver-contract queries: one entry per operator family (SURVEY.md §2),
+each routed through the engine's real operators, plus a DuckDB oracle
+SQL string computing the same result on the same parquet tables.
+
+The testdata has no spans column, so span-rule queries derive a spans
+array **deterministically and portably** from ``documents`` — the same
+arithmetic (pure mods on doc_id × word position) is expressed in both
+Spark and ANSI SQL, so the engine's violation output can be checked
+value-for-value against DuckDB. Injection periods mirror datagen.py.
+
+Column-name and type discipline: every computed column is aliased
+identically on both sides; doubles that aggregate more than one term
+are ROUND()ed to 6 in both (FP addition order differs across engines);
+single-division ratios are left exact (IEEE division is deterministic).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators import dedup, metrics, referential, response_validation as RV
+from .operators import sampling, similarity, stats, textstats, uniqueness
+from .plans import rules as R
+
+LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------- span deriv
+
+def derived_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id string, spans array<struct<kind,text,media_ref,offset>>)
+    derived from documents(doc_id bigint, text) with deterministic
+    injected violations — the portable analog of datagen.documents_spans.
+
+    Repartitions first: the documents parquet is one small file (a
+    single input split), but the derived-span work downstream is wide —
+    spread it across all cores before the fan-out."""
+    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    words = F.split(F.col("text"), " ")
+    d = F.col("doc_id")
+
+    def span(w, i):
+        il = i.cast("long")
+        base_media = (d * 31 + il) % 7 == 0
+        kind = (
+            F.when((d * 131 + il) % 211 == 0, "tezt")
+            .when(base_media, "media")
+            .otherwise("text")
+        )
+        mutex_bad = (d * 17 + il) % 223 == 0
+        text = F.when(~base_media | mutex_bad, w)
+        media_ref = F.when(
+            base_media | mutex_bad,
+            F.format_string("media-%05d", (d * 7 + il) % 520),
+        )
+        offset = (
+            il * 8 - F.when(((d + il) % 97 == 0) & (il > 0), 9).otherwise(0)
+        ).cast("int")
+        return F.struct(
+            kind.alias("kind"), text.alias("text"),
+            media_ref.alias("media_ref"), offset.alias("offset"),
+        )
+
+    return docs.select(
+        d.cast("string").alias("doc_id"), F.transform(words, span).alias("spans")
+    )
+
+
+# Shared SQL CTE: the same derivation in DuckDB (exploded long form).
+SPANS_CTE = """
+WITH ex AS (
+  SELECT doc_id,
+         generate_subscripts(l, 1) - 1 AS pos,
+         unnest(l) AS w
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents) t
+), spans AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(pos AS INTEGER) AS span_index,
+         CASE WHEN (doc_id*131 + pos) % 211 = 0 THEN 'tezt'
+              WHEN (doc_id*31 + pos) % 7 = 0 THEN 'media'
+              ELSE 'text' END AS kind,
+         CASE WHEN NOT ((doc_id*31 + pos) % 7 = 0) OR (doc_id*17 + pos) % 223 = 0
+              THEN w END AS text,
+         CASE WHEN ((doc_id*31 + pos) % 7 = 0) OR (doc_id*17 + pos) % 223 = 0
+              THEN 'media-' || lpad(CAST((doc_id*7 + pos) % 520 AS VARCHAR), 5, '0') END AS media_ref,
+         CAST(pos*8 - CASE WHEN (doc_id + pos) % 97 = 0 AND pos > 0 THEN 9 ELSE 0 END AS INTEGER) AS off,
+         doc_id AS _d, pos AS _p
+  FROM ex
+), spans_prev AS (
+  SELECT *, lag(off) OVER (PARTITION BY _d ORDER BY _p) AS prev_off
+  FROM spans
+)
+"""
+
+
+# ------------------------------------------------------------- query bodies
+
+def q_span_kind_violations(spark, sf_dir):
+    docs = derived_spans(_t(spark, sf_dir, "documents"))
+    v = R.violations(docs, R.RuleSet(doc_rules=[]))
+    return v.filter(F.col("rule_id") == "R-SPAN-KIND")
+
+
+SQL_SPAN_KIND = SPANS_CTE + """
+SELECT doc_id, 'R-SPAN-KIND' AS rule_id, span_index,
+       kind AS observed, 'kind in {text,media}' AS expected
+FROM spans_prev WHERE kind NOT IN ('text', 'media')
+"""
+
+
+def q_span_mutex_violations(spark, sf_dir):
+    docs = derived_spans(_t(spark, sf_dir, "documents"))
+    v = R.violations(docs, R.RuleSet(doc_rules=[]))
+    return v.filter(F.col("rule_id") == "R-SPAN-MUTEX")
+
+
+SQL_SPAN_MUTEX = SPANS_CTE + """
+SELECT doc_id, 'R-SPAN-MUTEX' AS rule_id, span_index,
+       'text=' || coalesce(text, '<null>') || ',media_ref=' || coalesce(media_ref, '<null>') AS observed,
+       'exactly one of text/media_ref set, matching kind' AS expected
+FROM spans_prev
+WHERE (kind = 'text' AND (text IS NULL OR media_ref IS NOT NULL))
+   OR (kind = 'media' AND (media_ref IS NULL OR text IS NOT NULL))
+"""
+
+
+def q_span_mono_violations(spark, sf_dir):
+    docs = derived_spans(_t(spark, sf_dir, "documents"))
+    v = R.violations(docs, R.RuleSet(doc_rules=[]))
+    return v.filter(F.col("rule_id") == "R-SPAN-MONO")
+
+
+SQL_SPAN_MONO = SPANS_CTE + """
+SELECT doc_id, 'R-SPAN-MONO' AS rule_id, span_index,
+       'offset=' || off || ',prev=' || prev_off AS observed,
+       'offset strictly increasing' AS expected
+FROM spans_prev WHERE prev_off IS NOT NULL AND off <= prev_off
+"""
+
+
+def q_span_rule_verdicts(spark, sf_dir):
+    docs = derived_spans(_t(spark, sf_dir, "documents"))
+    vd = R.verdicts(docs, R.RuleSet(doc_rules=[]))
+    return vd.select(
+        "rule_id", "n_checked", "n_violations",
+        F.round("violation_rate", 6).alias("violation_rate"), "pass",
+    )
+
+
+SQL_SPAN_VERDICTS = SPANS_CTE + """
+SELECT rule_id, n_checked, n_violations,
+       round(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate,
+       (CAST(n_violations AS DOUBLE) / n_checked) <= 0.05 AS pass
+FROM (
+  SELECT 'R-SPAN-KIND' AS rule_id, count(*) AS n_checked,
+         sum(CASE WHEN kind NOT IN ('text','media') THEN 1 ELSE 0 END) AS n_violations
+  FROM spans_prev
+  UNION ALL
+  SELECT 'R-SPAN-MUTEX', count(*),
+         sum(CASE WHEN (kind='text' AND (text IS NULL OR media_ref IS NOT NULL))
+                    OR (kind='media' AND (media_ref IS NULL OR text IS NOT NULL))
+                  THEN 1 ELSE 0 END)
+  FROM spans_prev
+  UNION ALL
+  SELECT 'R-SPAN-MONO', count(*),
+         sum(CASE WHEN prev_off IS NOT NULL AND off <= prev_off THEN 1 ELSE 0 END)
+  FROM spans_prev
+)
+"""
+
+
+def q_uniqueness_lineitem_orderkey(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").withColumnRenamed("l_orderkey", "doc_id")
+    return uniqueness.duplicate_doc_ids(li).withColumnRenamed("doc_id", "l_orderkey")
+
+
+SQL_UNIQUENESS = """
+SELECT l_orderkey, count(*) AS n_occurrences
+FROM lineitem GROUP BY l_orderkey HAVING count(*) > 1
+"""
+
+
+def q_referential_unknown_event_types(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    dim = spark.createDataFrame([("click",), ("view",), ("purchase",)], "event_type string")
+    return ev.select("event_type").distinct().join(F.broadcast(dim), "event_type", "left_anti")
+
+
+SQL_REF_EVENT_TYPES = """
+SELECT DISTINCT event_type FROM events
+WHERE event_type NOT IN ('click', 'view', 'purchase')
+"""
+
+
+def q_referential_media_refs(spark, sf_dir):
+    """Dangling media_refs from the derived spans vs the 500-ref dim —
+    the engine's broadcast left_anti path on real span data."""
+    docs = derived_spans(_t(spark, sf_dir, "documents"))
+    dim = spark.range(500).select(
+        F.format_string("media-%05d", F.col("id")).alias("media_ref")
+    )
+    return referential.referential_violations(docs, dim)
+
+
+SQL_REF_MEDIA = SPANS_CTE + """
+SELECT doc_id, 'R-REF-MEDIA' AS rule_id, span_index,
+       media_ref AS observed, 'media_ref in valid_media_refs' AS expected
+FROM spans_prev
+WHERE media_ref IS NOT NULL
+  AND CAST(substr(media_ref, 7) AS INTEGER) >= 500
+"""
+
+
+def q_column_stats_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return stats.column_stats(
+        o, ["o_totalprice", "o_orderpriority"], by=("o_orderstatus",),
+        exact_distinct=True,
+    ).select(
+        "o_orderstatus", "column", "n_rows",
+        F.round("null_rate", 6).alias("null_rate"),
+        "min_value", "max_value", "approx_distinct",
+    )
+
+
+SQL_COLUMN_STATS = """
+SELECT o_orderstatus, col AS "column", n_rows, null_rate, min_value, max_value, approx_distinct
+FROM (
+  SELECT o_orderstatus, 'o_totalprice' AS col, count(*) AS n_rows,
+         round(CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 6) AS null_rate,
+         CAST(min(o_totalprice) AS VARCHAR) AS min_value,
+         CAST(max(o_totalprice) AS VARCHAR) AS max_value,
+         count(DISTINCT o_totalprice) AS approx_distinct
+  FROM orders GROUP BY o_orderstatus
+  UNION ALL
+  SELECT o_orderstatus, 'o_orderpriority', count(*),
+         round(CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 6),
+         min(o_orderpriority), max(o_orderpriority),
+         count(DISTINCT o_orderpriority)
+  FROM orders GROUP BY o_orderstatus
+)
+"""
+
+
+def q_drift_psi_event_type(spark, sf_dir):
+    """PSI between even/odd event_id halves of the event_type
+    distribution — the drift operator's PSI math on real data."""
+    ev = _t(spark, sf_dir, "events")
+    cur = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .groupBy(F.col("event_type").alias("bucket")).count()
+    )
+    base = (
+        ev.filter(F.col("event_id") % 2 == 1)
+        .groupBy(F.col("event_type").alias("bucket")).count()
+    )
+    from pyspark.sql.window import Window
+
+    def norm(df):
+        tot = F.sum("count").over(Window.partitionBy())
+        return df.select("bucket", (F.col("count") / tot).alias("freq"))
+
+    joined = (
+        norm(cur).withColumnRenamed("freq", "p")
+        .join(norm(base).withColumnRenamed("freq", "q"), "bucket", "full_outer")
+        .select(F.coalesce("p", F.lit(0.0)).alias("p"), F.coalesce("q", F.lit(0.0)).alias("q"))
+    )
+    eps = 1e-6
+    return joined.agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log((F.col("p") + eps) / (F.col("q") + eps))),
+            6,
+        ).alias("psi")
+    )
+
+
+SQL_DRIFT_PSI = """
+WITH cur AS (
+  SELECT event_type AS bucket, CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS p
+  FROM events WHERE event_id % 2 = 0 GROUP BY event_type
+), base AS (
+  SELECT event_type AS bucket, CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS q
+  FROM events WHERE event_id % 2 = 1 GROUP BY event_type
+)
+SELECT round(sum((coalesce(p,0) - coalesce(q,0)) * ln((coalesce(p,0) + 1e-6) / (coalesce(q,0) + 1e-6))), 6) AS psi
+FROM cur FULL OUTER JOIN base USING (bucket)
+"""
+
+
+def q_eval_per_class_prf(spark, sf_dir):
+    df = _eval_frame(spark, sf_dir)
+    return metrics.per_class_prf(metrics.per_class_counts(df)).select(
+        "class", "tp", "fp", "fn", "tn", "support",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def _eval_frame(spark, sf_dir):
+    """actual = [lang]; predicted = 3 langs derived from doc_id mods —
+    portable multi-label eval input."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = F.array(*[F.lit(s) for s in LANGS])
+    d = F.col("doc_id")
+    pred = F.array(
+        F.element_at(langs, (d % 5 + 1).cast("int")),
+        F.element_at(langs, ((d + 1) % 5 + 1).cast("int")),
+        F.element_at(langs, ((d + 2) % 5 + 1).cast("int")),
+    )
+    return docs.select(
+        d.cast("string").alias("id"),
+        F.array(F.col("lang")).alias("actual"),
+        pred.alias("predicted"),
+    )
+
+
+_EVAL_CTE = """
+WITH langs(idx, lang) AS (VALUES (0,'de'),(1,'en'),(2,'es'),(3,'fr'),(4,'zh')),
+ev AS (
+  SELECT d.doc_id, d.lang AS actual,
+         l1.lang AS p1, l2.lang AS p2, l3.lang AS p3
+  FROM documents d
+  JOIN langs l1 ON l1.idx = d.doc_id % 5
+  JOIN langs l2 ON l2.idx = (d.doc_id + 1) % 5
+  JOIN langs l3 ON l3.idx = (d.doc_id + 2) % 5
+)
+"""
+
+SQL_EVAL_PRF = _EVAL_CTE + """
+, counts AS (
+  SELECT c.lang AS class,
+         sum(CASE WHEN ev.actual = c.lang AND c.lang IN (ev.p1, ev.p2, ev.p3) THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN ev.actual <> c.lang AND c.lang IN (ev.p1, ev.p2, ev.p3) THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN ev.actual = c.lang AND c.lang NOT IN (ev.p1, ev.p2, ev.p3) THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN ev.actual = c.lang THEN 1 ELSE 0 END) AS support,
+         count(*) AS n_rows
+  FROM langs c CROSS JOIN ev GROUP BY c.lang
+)
+SELECT class, tp, fp, fn, n_rows - tp - fp - fn AS tn, support,
+       round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0 END, 6) AS precision,
+       round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0 END, 6) AS recall,
+       round(CASE WHEN (CASE WHEN tp+fp>0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0 END)
+                     + (CASE WHEN tp+fn>0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0 END) > 0
+             THEN 2 * (CASE WHEN tp+fp>0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0 END)
+                    * (CASE WHEN tp+fn>0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0 END)
+                  / ((CASE WHEN tp+fp>0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0 END)
+                   + (CASE WHEN tp+fn>0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0 END))
+             ELSE 0 END, 6) AS f1
+FROM counts
+"""
+
+
+def q_eval_subset_accuracy(spark, sf_dir):
+    return metrics.subset_accuracy(_eval_frame(spark, sf_dir)).select(
+        F.round("subset_accuracy", 6).alias("subset_accuracy")
+    )
+
+
+SQL_EVAL_ACC = _EVAL_CTE + """
+SELECT round(avg(CASE WHEN actual IN (p1, p2, p3) THEN 1.0 ELSE 0.0 END), 6) AS subset_accuracy
+FROM ev
+"""
+
+
+def q_eval_cooccurrence(spark, sf_dir):
+    return metrics.cooccurrence_matrix(_eval_frame(spark, sf_dir))
+
+
+SQL_EVAL_COOC = _EVAL_CTE + """
+SELECT actual AS actual_class, p AS predicted_class, count(*) AS n
+FROM (
+  SELECT actual, p1 AS p FROM ev
+  UNION ALL SELECT actual, p2 FROM ev
+  UNION ALL SELECT actual, p3 FROM ev
+)
+GROUP BY actual, p
+"""
+
+
+def q_response_validation(spark, sf_dir):
+    """Portable raw responses from doc_id mods: mostly valid '[i, j, k]'
+    over labels 0..16, every 13th malformed — the reference's response
+    validator (regex + label domain) as a table-level op."""
+    docs = _t(spark, sf_dir, "documents")
+    d = F.col("doc_id")
+    raw = F.when(d % 13 == 2, F.lit("3, 1, 2")).otherwise(
+        F.format_string("[%d, %d, %d]", (d % 17).cast("int"),
+                        ((d + 7) % 17).cast("int"), ((d + 30) % 40).cast("int"))
+    )
+    df = docs.select(d.cast("string").alias("id"), raw.alias("raw_response"))
+    from . import datagen
+
+    out = RV.validate_responses(df, datagen.intent_labels(spark))
+    return out.select("id", "shape_valid", "valid")
+
+
+SQL_RESPONSE_VALIDATION = """
+SELECT CAST(doc_id AS VARCHAR) AS id,
+       CASE WHEN doc_id % 13 = 2 THEN FALSE ELSE TRUE END AS shape_valid,
+       CASE WHEN doc_id % 13 = 2 THEN FALSE
+            WHEN (doc_id + 30) % 40 > 16 THEN FALSE
+            ELSE TRUE END AS valid
+FROM documents
+"""
+
+
+def q_sample_capped_per_group(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return sampling.capped_per_group(
+        ev.select("event_id", "event_type"), "event_type", 5, order_col="event_id"
+    )
+
+
+SQL_SAMPLE_CAPPED = """
+SELECT event_id, event_type FROM (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+) WHERE rn <= 5
+"""
+
+
+def q_dense_ids_event_types(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return sampling.dense_ids(ev, "event_type", "event_id")
+
+
+SQL_DENSE_IDS = """
+SELECT event_type, CAST(row_number() OVER (ORDER BY first_seen, event_type) - 1 AS INTEGER) AS label
+FROM (SELECT event_type, min(event_id) AS first_seen FROM events GROUP BY event_type)
+"""
+
+
+def q_dedup_exact_prefix(spark, sf_dir):
+    """Exact-dup groups keyed on the first-2-word prefix of text (full
+    texts are unique in the synthetic corpus; the prefix keys collide,
+    exercising the real group/min/collect path)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ").alias("text"),
+    )
+    return dedup.exact_duplicates(docs).select("n_dups", "keep_id", "dup_ids")
+
+
+SQL_DEDUP_PREFIX = """
+SELECT count(*) AS n_dups, min(doc_id) AS keep_id,
+       list_sort(list(doc_id)) AS dup_ids
+FROM (
+  SELECT doc_id,
+         regexp_replace(lower(trim(l[1] || ' ' || l[2])), '\\s+', ' ', 'g') AS k
+  FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+)
+GROUP BY k HAVING count(*) > 1
+"""
+
+
+def q_similarity_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+    return similarity.brute_force_topk(emb, qs, k=10).select("query_id", "vec_id", "rank")
+
+
+SQL_SIMILARITY_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 3)
+SELECT query_id, vec_id, rank FROM (
+  SELECT q.query_id, e.vec_id,
+         CAST(row_number() OVER (
+             PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                      e.vec_id ASC
+         ) AS INTEGER) AS rank
+  FROM embeddings e CROSS JOIN q
+) WHERE rank <= 10
+"""
+
+
+def q_text_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    prof = docs.select(
+        "lang",
+        textstats.token_count().alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    return prof.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+    )
+
+
+SQL_TEXT_TOKEN_STATS = """
+SELECT lang, count(*) AS n_docs,
+       sum(len(string_split(lower(trim(text)), ' '))) AS total_tokens,
+       min(len(string_split(lower(trim(text)), ' '))) AS min_tokens,
+       max(len(string_split(lower(trim(text)), ' '))) AS max_tokens,
+       round(avg(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q_word_topk(spark, sf_dir):
+    return textstats.word_topk(_t(spark, sf_dir, "documents"), k=20)
+
+
+SQL_WORD_TOPK = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(lower(trim(text)), ' ')) AS word FROM documents)
+WHERE word <> '' GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+
+def q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,4)")
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS sum_disc_price,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_tpch_q3(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    revenue = F.sum(
+        (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,4)")
+    ).alias("revenue")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c.filter(F.col("c_mktsegment") == "BUILDING")),
+              o.o_custkey == F.col("c_custkey"))
+        .filter((F.col("o_orderdate") < "1995-03-15") & (F.col("l_shipdate") > "1995-03-15"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(revenue)
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey, o_orderdate,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+"""
+
+
+def q_drift_ks_event_value(spark, sf_dir):
+    """Two-sample KS between even/odd event_id halves of the value
+    distribution, histogram-ECDF form (32 fixed bins over [0, 512))."""
+    ev = _t(spark, sf_dir, "events")
+    from .operators.drift import ks_from_histograms
+    from pyspark.sql.window import Window
+
+    def hist(df):
+        bucket = F.least(F.lit(31), F.floor(F.col("value") / 16)).cast("int")
+        counts = df.groupBy(bucket.alias("bucket")).count()
+        tot = F.sum("count").over(Window.partitionBy())
+        return counts.select("bucket", (F.col("count") / tot).alias("freq"))
+
+    cur = hist(ev.filter(F.col("event_id") % 2 == 0))
+    base = hist(ev.filter(F.col("event_id") % 2 == 1))
+    ks = ks_from_histograms(cur, base)
+    return spark.createDataFrame([(round(ks, 6),)], "ks double")
+
+
+SQL_DRIFT_KS = """
+WITH cur AS (
+  SELECT least(31, CAST(floor(value / 16) AS INTEGER)) AS bucket,
+         CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS p
+  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+), base AS (
+  SELECT least(31, CAST(floor(value / 16) AS INTEGER)) AS bucket,
+         CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS q
+  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+), joined AS (
+  SELECT bucket, coalesce(p, 0) AS p, coalesce(q, 0) AS q
+  FROM cur FULL OUTER JOIN base USING (bucket)
+)
+SELECT round(max(abs(d)), 6) AS ks FROM (
+  SELECT sum(p) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+       - sum(q) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS d
+  FROM joined
+)
+"""
+
+
+def q_eval_averaged(spark, sf_dir):
+    prf = metrics.per_class_prf(metrics.per_class_counts(_eval_frame(spark, sf_dir)))
+    return metrics.averaged_metrics(prf).select(
+        "average",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+SQL_EVAL_AVERAGED = _EVAL_CTE + """
+, counts AS (
+  SELECT c.lang AS class,
+         sum(CASE WHEN ev.actual = c.lang AND c.lang IN (ev.p1, ev.p2, ev.p3) THEN 1 ELSE 0 END) AS tp,
+         sum(CASE WHEN ev.actual <> c.lang AND c.lang IN (ev.p1, ev.p2, ev.p3) THEN 1 ELSE 0 END) AS fp,
+         sum(CASE WHEN ev.actual = c.lang AND c.lang NOT IN (ev.p1, ev.p2, ev.p3) THEN 1 ELSE 0 END) AS fn,
+         sum(CASE WHEN ev.actual = c.lang THEN 1 ELSE 0 END) AS support
+  FROM langs c CROSS JOIN ev GROUP BY c.lang
+), prf AS (
+  SELECT class, support, tp, fp, fn,
+         CASE WHEN tp+fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0 END AS precision,
+         CASE WHEN tp+fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0 END AS recall
+  FROM counts
+), prf2 AS (
+  SELECT *, CASE WHEN precision + recall > 0
+                 THEN 2*precision*recall/(precision+recall) ELSE 0 END AS f1
+  FROM prf
+)
+SELECT 'macro' AS average, round(avg(precision), 6) AS precision,
+       round(avg(recall), 6) AS recall, round(avg(f1), 6) AS f1
+FROM prf2
+UNION ALL
+SELECT 'micro',
+       round(CASE WHEN sum(tp)+sum(fp) > 0 THEN CAST(sum(tp) AS DOUBLE)/(sum(tp)+sum(fp)) ELSE 0 END, 6),
+       round(CASE WHEN sum(tp)+sum(fn) > 0 THEN CAST(sum(tp) AS DOUBLE)/(sum(tp)+sum(fn)) ELSE 0 END, 6),
+       round(CASE WHEN (CASE WHEN sum(tp)+sum(fp)>0 THEN CAST(sum(tp) AS DOUBLE)/(sum(tp)+sum(fp)) ELSE 0 END)
+                   + (CASE WHEN sum(tp)+sum(fn)>0 THEN CAST(sum(tp) AS DOUBLE)/(sum(tp)+sum(fn)) ELSE 0 END) > 0
+             THEN 2 * (CASE WHEN sum(tp)+sum(fp)>0 THEN CAST(sum(tp) AS DOUBLE)/(sum(tp)+sum(fp)) ELSE 0 END)
+                    * (CASE WHEN sum(tp)+sum(fn)>0 THEN CAST(sum(tp) AS DOUBLE)/(sum(tp)+sum(fn)) ELSE 0 END)
+                  / ((CASE WHEN sum(tp)+sum(fp)>0 THEN CAST(sum(tp) AS DOUBLE)/(sum(tp)+sum(fp)) ELSE 0 END)
+                   + (CASE WHEN sum(tp)+sum(fn)>0 THEN CAST(sum(tp) AS DOUBLE)/(sum(tp)+sum(fn)) ELSE 0 END))
+             ELSE 0 END, 6)
+FROM counts
+UNION ALL
+SELECT 'weighted',
+       round(sum(precision * support) / sum(support), 6),
+       round(sum(recall * support) / sum(support), 6),
+       round(sum(f1 * support) / sum(support), 6)
+FROM prf2
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dec = lambda col: F.col(col).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(c, (o.o_custkey == c.c_custkey) & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .filter(
+            (F.col("o_orderdate") >= "1994-01-01") & (F.col("o_orderdate") < "1997-01-01")
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,4)")
+            ).alias("revenue")
+        )
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE o_orderdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
+def q_embedding_neardup_pairs(spark, sf_dir):
+    """Exact cosine on explicit candidate pairs (the embedding near-dup
+    verifier): consecutive vec_id pairs below 100."""
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = spark.range(100).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    return similarity.cosine_pairs(emb, pairs).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+SQL_EMBEDDING_NEARDUP = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+WHERE a.vec_id < 100
+"""
+
+
+# --------------------------------------------- rows-only (no SQL equivalent)
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup candidates on the first-8-word prefix
+    (full random texts share no shingles) — hash permutations aren't
+    portable to SQL, so this is a rows-only check."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias("text"),
+    )
+    return dedup.minhash_lsh_pairs(docs, threshold=0.9)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias("text"),
+    )
+    return dedup.simhash_near_pairs(docs, max_hamming=2)
+
+
+def q_stratified_sample(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
+    return sampling.stratified_sample(ev, "event_type", 100, order_col="event_id")
+
+
+def q_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    ]
+    return similarity.lsh_topk(emb, qs, k=10).select("query_id", "vec_id", "rank")
+
+
+def q_text_profile(spark, sf_dir):
+    return textstats.text_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_multimodal_features(spark, sf_dir):
+    from .operators import multimodal
+
+    docs = derived_spans(_t(spark, sf_dir, "documents"))
+    refs = (
+        referential.unknown_refs(docs, spark.createDataFrame([("none",)], "media_ref string"))
+        .limit(200)
+        .withColumn("doc_id", F.lit("probe"))
+    )
+    media = multimodal.attach_fake_payloads(refs)
+    return multimodal.extract_image_features(media)
+
+
+QUERIES = {
+    "span_kind_violations": (q_span_kind_violations, SQL_SPAN_KIND),
+    "span_mutex_violations": (q_span_mutex_violations, SQL_SPAN_MUTEX),
+    "span_mono_violations": (q_span_mono_violations, SQL_SPAN_MONO),
+    "span_rule_verdicts": (q_span_rule_verdicts, SQL_SPAN_VERDICTS),
+    "uniqueness_lineitem_orderkey": (q_uniqueness_lineitem_orderkey, SQL_UNIQUENESS),
+    "referential_unknown_event_types": (q_referential_unknown_event_types, SQL_REF_EVENT_TYPES),
+    "referential_media_refs": (q_referential_media_refs, SQL_REF_MEDIA),
+    "column_stats_orders": (q_column_stats_orders, SQL_COLUMN_STATS),
+    "drift_psi_event_type": (q_drift_psi_event_type, SQL_DRIFT_PSI),
+    "eval_subset_accuracy": (q_eval_subset_accuracy, SQL_EVAL_ACC),
+    "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
+    "eval_cooccurrence": (q_eval_cooccurrence, SQL_EVAL_COOC),
+    "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
+    "sample_capped_per_group": (q_sample_capped_per_group, SQL_SAMPLE_CAPPED),
+    "dense_ids_event_types": (q_dense_ids_event_types, SQL_DENSE_IDS),
+    "dedup_exact_prefix": (q_dedup_exact_prefix, SQL_DEDUP_PREFIX),
+    "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
+    "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
+    "word_topk": (q_word_topk, SQL_WORD_TOPK),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "drift_ks_event_value": (q_drift_ks_event_value, SQL_DRIFT_KS),
+    "eval_averaged": (q_eval_averaged, SQL_EVAL_AVERAGED),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP),
+    # rows-only (non-SQL-expressible: seeded hash permutations / LSH / UDF stubs)
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
+    "simhash_pairs": (q_simhash_pairs, None),
+    "stratified_sample": (q_stratified_sample, None),
+    "lsh_topk": (q_lsh_topk, None),
+    "text_profile": (q_text_profile, None),
+    "multimodal_features": (q_multimodal_features, None),
+}

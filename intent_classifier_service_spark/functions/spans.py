@@ -66,17 +66,34 @@ def doc_offsets_monotone(spans: Column) -> Column:
 
 def explode_spans(docs: DataFrame, keep: tuple[str, ...] = ("doc_id",)) -> DataFrame:
     """One shuffle-free pass: posexplode spans, carrying prev_offset
-    computed in-array (element_at) so monotonicity never needs a window."""
-    with_prev = F.transform(
-        F.col("spans"),
-        lambda s, i: F.struct(
+    zipped in-array so monotonicity never needs a window.
+
+    Deliberately avoids ``element_at(spans, i)`` inside the per-element
+    lambda: when ``spans`` is itself a derived expression (datagen, the
+    portable span derivation), Catalyst inlines the full construction at
+    every reference, making per-element access O(N²) per document. The
+    shift-and-zip below references ``spans`` a constant number of times
+    regardless of array length."""
+    spans = F.col("spans")
+    offsets = F.transform(spans, lambda s: s["offset"])
+    prev_offsets = F.concat(
+        F.array(F.lit(None).cast("int")),
+        F.slice(offsets, 1, F.greatest(F.size(spans) - 1, F.lit(0))),
+    )
+    zipped = F.zip_with(
+        spans,
+        prev_offsets,
+        lambda s, p: F.struct(
             s["kind"].alias("kind"),
             s["text"].alias("text"),
             s["media_ref"].alias("media_ref"),
             s["offset"].alias("offset"),
-            F.when(i > 0, F.element_at(F.col("spans"), i)["offset"]).alias("prev_offset"),
+            p.alias("prev_offset"),
         ),
     )
+    # zip_with pads the shorter side with nulls; an empty spans array
+    # would fabricate one null span — slice it back to empty.
+    with_prev = F.when(F.size(spans) == 0, F.slice(zipped, 1, 0)).otherwise(zipped)
     return (
         docs.withColumn("_spans", with_prev)
         .select(*keep, F.posexplode("_spans").alias("span_index", "span"))

@@ -19,17 +19,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def column_stats(df: DataFrame, cols: list[str], by: tuple[str, ...] = ()) -> DataFrame:
+def column_stats(df: DataFrame, cols: list[str], by: tuple[str, ...] = (),
+                 exact_distinct: bool = False) -> DataFrame:
     """One pass: per group (or global) null_rate / min / max /
     approx_distinct per requested column, long-form output
-    (group..., column, null_rate, min_value, max_value, approx_distinct)."""
+    (group..., column, null_rate, min_value, max_value, approx_distinct).
+
+    exact_distinct=True swaps HLL for exact count_distinct — used by
+    oracle-parity checks (HLL estimates aren't reproducible across
+    engines); production stays approximate."""
+    distinct_of = F.count_distinct if exact_distinct else F.approx_count_distinct
     aggs = [F.count(F.lit(1)).alias("_n")]
     for c in cols:
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"_nulls_{c}"),
             F.min(c).alias(f"_min_{c}"),
             F.max(c).alias(f"_max_{c}"),
-            F.approx_count_distinct(c).alias(f"_adist_{c}"),
+            distinct_of(F.col(c)).alias(f"_adist_{c}"),
         ]
     tot = df.groupBy(*by).agg(*aggs)
     per_col = [

@@ -155,11 +155,19 @@ def violations(docs: DataFrame, rules: RuleSet | None = None,
     columns (e.g. part_key) in front of the standard shape."""
     rules = rules or RuleSet()
     keep_cols = ["doc_id", *keep]
-    exploded = S.explode_spans(docs, keep=tuple(keep_cols))
-    span_v = _emit(rules.span_rules, exploded, F.col("span_index").cast("int"), keep_cols)
-    doc_v = _emit(rules.doc_rules, docs, F.lit(None).cast("int"), keep_cols)
     out_cols = [*keep, *VIOLATION_COLS] if keep else list(VIOLATION_COLS)
-    return span_v.select(*out_cols).unionByName(doc_v.select(*out_cols))
+    parts = []
+    if rules.span_rules:
+        exploded = S.explode_spans(docs, keep=tuple(keep_cols))
+        parts.append(
+            _emit(rules.span_rules, exploded, F.col("span_index").cast("int"), keep_cols)
+        )
+    if rules.doc_rules:
+        parts.append(_emit(rules.doc_rules, docs, F.lit(None).cast("int"), keep_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*out_cols)
 
 
 def verdicts(docs: DataFrame, rules: RuleSet | None = None,
@@ -168,19 +176,7 @@ def verdicts(docs: DataFrame, rules: RuleSet | None = None,
     ONE aggregation pass: conditional sums per rule on the exploded frame
     plus doc-level sums, then unpivot with stack."""
     rules = rules or RuleSet()
-    exploded = S.explode_spans(docs, keep=("doc_id", *by))
-
-    span_aggs = [F.count(F.lit(1)).alias("_n_spans")] + [
-        F.sum(_null_safe_violated(r.violated()).cast("long")).alias(f"_v_{r.rule_id}")
-        for r in rules.span_rules
-    ]
-    doc_aggs = [F.count(F.lit(1)).alias("_n_docs")] + [
-        F.sum(_null_safe_violated(r.violated()).cast("long")).alias(f"_v_{r.rule_id}")
-        for r in rules.doc_rules
-    ]
     gb = list(by)
-    span_tot = exploded.groupBy(*gb).agg(*span_aggs)
-    doc_tot = docs.groupBy(*gb).agg(*doc_aggs)
 
     def unpivot(tot: DataFrame, rule_list, n_col: str) -> DataFrame:
         stack_args = ", ".join(
@@ -192,9 +188,25 @@ def verdicts(docs: DataFrame, rules: RuleSet | None = None,
             f"{n_col} as n_checked",
         )
 
-    both = unpivot(span_tot, rules.span_rules, "_n_spans").unionByName(
-        unpivot(doc_tot, rules.doc_rules, "_n_docs")
-    )
+    parts = []
+    if rules.span_rules:
+        exploded = S.explode_spans(docs, keep=("doc_id", *by))
+        span_aggs = [F.count(F.lit(1)).alias("_n_spans")] + [
+            F.sum(_null_safe_violated(r.violated()).cast("long")).alias(f"_v_{r.rule_id}")
+            for r in rules.span_rules
+        ]
+        parts.append(unpivot(exploded.groupBy(*gb).agg(*span_aggs),
+                             rules.span_rules, "_n_spans"))
+    if rules.doc_rules:
+        doc_aggs = [F.count(F.lit(1)).alias("_n_docs")] + [
+            F.sum(_null_safe_violated(r.violated()).cast("long")).alias(f"_v_{r.rule_id}")
+            for r in rules.doc_rules
+        ]
+        parts.append(unpivot(docs.groupBy(*gb).agg(*doc_aggs),
+                             rules.doc_rules, "_n_docs"))
+    both = parts[0]
+    for p in parts[1:]:
+        both = both.unionByName(p)
     rate = F.when(F.col("n_checked") > 0,
                   F.col("n_violations") / F.col("n_checked")).otherwise(F.lit(0.0))
     return both.select(

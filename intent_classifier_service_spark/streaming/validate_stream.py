@@ -1,0 +1,72 @@
+"""Structured Streaming validation.
+
+The reference is batch-only (SURVEY §2.9) and the north rule's
+resumability is handled by the checkpoint store — but the same compiled
+rule plan runs unchanged over a stream, because the span/doc rule pass
+is fully stateless (explode + filter, no aggregation). This module
+wires that up:
+
+  violations_stream  — the single-scan fused rule pass as a streaming
+                       transformation (append-mode safe)
+  run_available_now  — drain a parquet directory as a stream with
+                       Trigger.AvailableNow (incremental batch: same
+                       semantics as a kicked-off-hourly batch job, with
+                       Spark's own checkpoint tracking files consumed)
+  windowed_violation_counts — watermarked per-event-time-window verdict
+                       counts for streams that carry a timestamp
+
+At scale: a stateless stream shards by input file; no state store is
+touched, so throughput ≈ batch. The windowed variant keeps one small
+state row per (window, rule_id) — watermark bounds state size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import rules as R
+from ..sources.tables import DOCUMENTS_SPANS_SCHEMA
+
+
+def read_documents_stream(spark: SparkSession, path: str,
+                          max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(DOCUMENTS_SPANS_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def violations_stream(docs_stream: DataFrame, rules: R.RuleSet | None = None) -> DataFrame:
+    """The exact batch rule pass — stateless, so valid on a stream."""
+    return R.violations(docs_stream, rules)
+
+
+def run_available_now(spark: SparkSession, in_dir: str, out_dir: str,
+                      checkpoint_dir: str, rules: R.RuleSet | None = None) -> None:
+    """Drain everything currently in in_dir, then stop (incremental
+    batch). Re-running only processes files added since the last run —
+    file-level resumability on top of the partition-level checkpoint
+    store."""
+    v = violations_stream(read_documents_stream(spark, in_dir), rules)
+    q = (
+        v.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_violation_counts(docs_stream: DataFrame, ts_col: str,
+                              window: str = "10 minutes",
+                              watermark: str = "30 minutes",
+                              rules: R.RuleSet | None = None) -> DataFrame:
+    """Per-window violation counts with late-data handling: watermark
+    bounds state, append mode emits each window once it's final."""
+    v = R.violations(docs_stream.withWatermark(ts_col, watermark),
+                     rules, keep=(ts_col,))
+    return v.groupBy(F.window(ts_col, window), "rule_id").agg(
+        F.count(F.lit(1)).alias("n_violations")
+    )
