@@ -74,6 +74,20 @@ def labels_to_intents(df: DataFrame, labels_df: DataFrame,
     return regroup
 
 
+def format_server_response(df: DataFrame,
+                           intents_col: str = "pred_intents") -> DataFrame:
+    """pred_intents: array<string> → response_json matching the
+    reference's fixed shape {'intents': [{'label': ...} × 3]}
+    (format_server_response, gpt_intent_classifier.py:466-482) — pure
+    struct/to_json column construction (SURVEY F11)."""
+    payload = F.struct(
+        F.transform(
+            F.col(intents_col), lambda s: F.struct(s.alias("label"))
+        ).alias("intents")
+    )
+    return df.withColumn("response_json", F.to_json(payload))
+
+
 def validity_verdict(validated: DataFrame, min_valid_rate: float = 0.95) -> DataFrame:
     """(n_checked, n_valid, valid_rate, pass) — the reference's valid ≥
     95 % half of the load gate (:396-398)."""

@@ -33,7 +33,7 @@ def test_rule_version_isolation(spark, tmp_path):
 
 
 def test_validate_job_end_to_end_and_resume(spark, tmp_path):
-    docs = datagen.documents_spans(spark, 3000)
+    docs = datagen.documents_spans(spark, 1500)
     refs = datagen.valid_media_refs(spark)
     out = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
@@ -41,7 +41,7 @@ def test_validate_job_end_to_end_and_resume(spark, tmp_path):
     store = CheckpointStore(spark, ckpt)
     r1 = validate.run(spark, docs, refs, out, store)
     assert r1["gate_pass"] is True
-    assert r1["n_docs"] == 3000
+    assert r1["n_docs"] == 1500
 
     violations = spark.read.parquet(os.path.join(out, "violations"))
     assert violations.filter(F.col("rule_id") == "R-SPAN-KIND").count() > 0

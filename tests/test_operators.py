@@ -21,7 +21,7 @@ def test_column_stats(spark):
 
 
 def test_hll_sketch_merge_matches_exact(spark):
-    docs = datagen.documents_spans(spark, 5000)
+    docs = datagen.documents_spans(spark, 3000)
     sketches = stats.hll_partition_sketches(docs, "doc_id")
     approx = stats.hll_global_distinct(sketches).collect()[0]["approx_distinct"]
     exact = docs.select("doc_id").distinct().count()
@@ -29,7 +29,7 @@ def test_hll_sketch_merge_matches_exact(spark):
 
 
 def test_duplicate_doc_ids_exact_counts(spark):
-    n = 10_000
+    n = 4_000
     docs = datagen.documents_spans(spark, n)
     dups = {r["doc_id"]: r["n_occurrences"]
             for r in uniqueness.duplicate_doc_ids(docs).collect()}
@@ -47,7 +47,7 @@ def test_duplicate_doc_ids_exact_counts(spark):
 
 
 def test_uniqueness_salting_agrees_with_plain_groupby(spark):
-    docs = datagen.documents_spans(spark, 5000)
+    docs = datagen.documents_spans(spark, 3000)
     salted = uniqueness.duplicate_doc_ids(docs, n_salts=8)
     plain = (
         docs.groupBy("doc_id").count().filter(F.col("count") > 1)

@@ -35,6 +35,16 @@ def test_labels_to_intents_preserves_order(spark):
     assert out["pred_intents"] == ["airfare", "flight", "flight_time"]
 
 
+def test_format_server_response(spark):
+    df = spark.createDataFrame(
+        [(1, ["airfare", "flight", "flight_time"])], "id int, pred_intents array<string>"
+    )
+    out = RV.format_server_response(df).collect()[0]
+    assert out["response_json"] == (
+        '{"intents":[{"label":"airfare"},{"label":"flight"},{"label":"flight_time"}]}'
+    )
+
+
 def test_validity_verdict_gate(spark):
     df = spark.createDataFrame([(i, c) for i, (c, _) in enumerate(CASES)],
                                "id int, raw_response string")

@@ -59,7 +59,7 @@ def test_doc_rules(spark):
 def test_hof_equals_pandas_udf(spark):
     """The JVM fast path and the Arrow pandas-UDF path must agree on
     every datagen doc (includes all injected violation types)."""
-    docs = datagen.documents_spans(spark, 3000)
+    docs = datagen.documents_spans(spark, 2000)
     mismatches = docs.select(
         (S.doc_kinds_valid(F.col("spans")) == S.pdf_kinds_valid(F.col("spans"))).alias("k"),
         (S.doc_mutex_valid(F.col("spans")) == S.pdf_mutex_valid(F.col("spans"))).alias("m"),
