@@ -776,6 +776,20 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_topk(emb, qs, k=10).select("query_id", "vec_id", "rank")
 
 
+def q_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    ]
+    return similarity.ivf_topk(emb, qs, k=10).select("query_id", "vec_id", "rank")
+
+
+def q_embedding_neardup_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_neardup_pairs(emb, threshold=0.9)
+
+
 def q_text_profile(spark, sf_dir):
     return textstats.text_profile(_t(spark, sf_dir, "documents"))
 
@@ -824,6 +838,8 @@ QUERIES = {
     "simhash_pairs": (q_simhash_pairs, None),
     "stratified_sample": (q_stratified_sample, None),
     "lsh_topk": (q_lsh_topk, None),
+    "ivf_topk": (q_ivf_topk, None),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
     "text_profile": (q_text_profile, None),
     "multimodal_features": (q_multimodal_features, None),
 }

@@ -171,6 +171,105 @@ def lsh_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
     )
 
 
+def ivf_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
+             k: int = 10, n_centroids: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 7) -> DataFrame:
+    """IVF-style ANN: assign every vector to its nearest of n_centroids
+    fixed random centroids (one numpy matmul per Arrow batch — a real
+    deployment would k-means these; fixed seeds keep tests
+    deterministic), then score queries only against their n_probe
+    nearest centroid cells.
+
+    Scale shape: the corpus is scanned once to build cell assignments
+    (in production: written bucketed-by-cell so probes prune at the
+    file level); each query touches n_probe/n_centroids of the data.
+    """
+    dim = len(queries[0][1])
+    rng = np.random.RandomState(seed)
+    centroids = rng.normal(size=(n_centroids, dim))
+    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax((mat / norms) @ centroids.T, axis=1)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(),
+                                "cell": cells.astype(np.int32)})
+
+    cells = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, cell int"
+    )
+    q_rows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        probes = np.argsort(-(centroids @ v))[:n_probe]
+        q_rows.extend((int(qid), int(c)) for c in probes)
+    qdf = embeddings.sparkSession.createDataFrame(q_rows, "query_id long, cell int")
+    cand = (
+        cells.join(F.broadcast(qdf), "cell")
+        .select("query_id", id_col)
+        .dropDuplicates(["query_id", id_col])
+        .join(embeddings.select(id_col, vec_col), id_col)
+    )
+    qmap = {int(qid): (np.asarray(v, dtype=np.float64)
+                       / max(np.linalg.norm(v), 1e-12)).tolist()
+            for qid, v in queries}
+    qlit = F.map_from_arrays(
+        F.array(*[F.lit(qid) for qid in qmap]),
+        F.array(*[F.array(*[F.lit(float(x)) for x in vec]) for vec in qmap.values()]),
+    )
+    qvec = F.element_at(qlit, F.col("query_id"))
+    dot = F.aggregate(F.zip_with(F.col(vec_col), qvec, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda a: a * a),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    scored = cand.select("query_id", id_col,
+                         (dot / F.greatest(norm, F.lit(1e-12))).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
+                            n_bits: int = 24, bands: int = 6,
+                            id_col: str = "vec_id", vec_col: str = "embedding",
+                            seed: int = 42) -> DataFrame:
+    """Embedding-cosine near-duplicate detection: hyperplane-LSH bands
+    generate candidates (pairs sharing a band bucket), exact cosine
+    verifies. Never all-pairs; candidates ∝ collisions."""
+    r = n_bits // bands
+    mask = (1 << r) - 1
+    sigs = hyperplane_signatures(embeddings, n_bits, id_col, vec_col, seed)
+    banded = sigs.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.shiftright("sig", b * r).bitwiseAND(F.lit(mask)).alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.bucket") == F.col("b.bucket"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cosine_pairs(embeddings, cand, id_col, vec_col).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def cosine_pairs(embeddings: DataFrame, pairs: DataFrame,
                  id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Exact cosine for explicit (id_a, id_b) pairs — the embedding

@@ -68,3 +68,11 @@ def write_violations(df: DataFrame, path: str, mode: str = "overwrite",
 
 def read_documents_spans(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(DOCUMENTS_SPANS_SCHEMA).parquet(path)
+
+
+def save_as_csv(df: DataFrame, path: str, header: bool = True) -> None:
+    """Single-file CSV export — reference S4 (save_as_csv,
+    gpt_intent_classifier.py:590-603, one golden CSV per metric table).
+    coalesce(1) is correct here because metric/verdict tables are tiny;
+    never use this for violation rows at scale (use write_violations)."""
+    df.coalesce(1).write.mode("overwrite").option("header", str(header).lower()).csv(path)

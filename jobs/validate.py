@@ -32,7 +32,8 @@ from intent_classifier_service_spark.streaming.checkpoint import CheckpointStore
 
 
 def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = None,
-        resume: bool = False) -> dict:
+        resume: bool = False, rules: R.RuleSet | None = None) -> dict:
+    rules = rules or R.RuleSet()
     t0 = time.time()
     if store is not None and resume:
         all_parts = docs.select("part_key").distinct()
@@ -51,7 +52,7 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     ).persist()
     n_docs = docs.count()
 
-    v_rules = R.violations(docs, keep=("part_key",))
+    v_rules = R.violations(docs, rules, keep=("part_key",))
     v_ref = referential.referential_violations(docs, valid_refs).withColumn(
         "part_key", F.lit(None).cast("int")
     )
@@ -63,8 +64,8 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     tables.write_violations(all_v, os.path.join(output, "violations"),
                             partition_by=("rule_id",))
 
-    vd = R.verdicts(docs)
-    vd_part = R.verdicts(docs, by=("part_key",))
+    vd = R.verdicts(docs, rules)
+    vd_part = R.verdicts(docs, rules, by=("part_key",))
     tables.write_violations(vd, os.path.join(output, "verdicts"))
     tables.write_violations(vd_part, os.path.join(output, "verdicts_by_partition"))
 
@@ -104,6 +105,8 @@ def main() -> int:
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--n-docs", type=int, default=100_000)
+    ap.add_argument("--max-violation-rate", type=float, default=0.05,
+                    help="per-rule gate threshold (reference: valid >= 95%%)")
     args = ap.parse_args()
 
     spark = get_spark("validate")
@@ -114,7 +117,8 @@ def main() -> int:
     )
     refs = datagen.valid_media_refs(spark)
     store = CheckpointStore(spark, args.checkpoint) if args.checkpoint else None
-    result = run(spark, docs, refs, args.output, store, args.resume)
+    rules = R.RuleSet(max_violation_rate=args.max_violation_rate)
+    result = run(spark, docs, refs, args.output, store, args.resume, rules)
     print(json.dumps(result))
     return 0 if result["gate_pass"] else 1
 
