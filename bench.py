@@ -148,6 +148,8 @@ def main():
     ap.add_argument("--cpu-pair", default="8,32",
                     help="N,4N thread counts for --scaling")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--runs", type=int, default=2,
+                    help="in-session runs for --validate-only (min reported)")
     ap.add_argument("--validate-only", action="store_true")
     args = ap.parse_args()
 
@@ -160,7 +162,7 @@ def main():
         # the first run pays one-time Catalyst planning + codegen
         # (serial, ~3 s) that a long-lived production job amortizes away.
         sec = float("inf")
-        for _ in range(2):
+        for _ in range(args.runs):
             t0 = time.time()
             n_docs, n_viol = _validate_synthetic(spark, args.n_docs)
             sec = min(sec, time.time() - t0)
