@@ -64,7 +64,8 @@ def doc_offsets_monotone(spans: Column) -> Column:
     return F.when(n <= 1, F.lit(True)).otherwise(F.forall(pairs_ok, lambda x: x))
 
 
-def explode_spans(docs: DataFrame, keep: tuple[str, ...] = ("doc_id",)) -> DataFrame:
+def explode_spans(docs: DataFrame, keep: tuple[str, ...] = ("doc_id",),
+                  outer: bool = False) -> DataFrame:
     """One shuffle-free pass: posexplode spans, carrying prev_offset
     zipped in-array so monotonicity never needs a window.
 
@@ -94,9 +95,10 @@ def explode_spans(docs: DataFrame, keep: tuple[str, ...] = ("doc_id",)) -> DataF
     # zip_with pads the shorter side with nulls; an empty spans array
     # would fabricate one null span — slice it back to empty.
     with_prev = F.when(F.size(spans) == 0, F.slice(zipped, 1, 0)).otherwise(zipped)
+    explode_fn = F.posexplode_outer if outer else F.posexplode
     return (
         docs.withColumn("_spans", with_prev)
-        .select(*keep, F.posexplode("_spans").alias("span_index", "span"))
+        .select(*keep, explode_fn("_spans").alias("span_index", "span"))
         .select(
             *keep,
             "span_index",

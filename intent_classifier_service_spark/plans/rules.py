@@ -173,15 +173,42 @@ def violations(docs: DataFrame, rules: RuleSet | None = None,
 def verdicts(docs: DataFrame, rules: RuleSet | None = None,
              by: tuple[str, ...] = ()) -> DataFrame:
     """Per-rule (optionally per-partition, by=('part_key',)) verdicts in
-    ONE aggregation pass: conditional sums per rule on the exploded frame
-    plus doc-level sums, then unpivot with stack."""
+    ONE scan: doc-rule flags are evaluated before the explode and
+    carried as booleans; posexplode_outer keeps empty-span docs in the
+    stream (span_index NULL); a single hash aggregation then counts
+    span checks (span_index NOT NULL rows) and doc checks (first-span
+    or empty-doc rows), unpivoted with stack. At 100 TB this is the
+    difference between one pass and rules-families × passes."""
     rules = rules or RuleSet()
     gb = list(by)
 
-    def unpivot(tot: DataFrame, rule_list, n_col: str) -> DataFrame:
-        stack_args = ", ".join(
-            f"'{r.rule_id}', `_v_{r.rule_id}`" for r in rule_list
+    flag_cols = {f"_df_{r.rule_id}": _null_safe_violated(r.violated())
+                 for r in rules.doc_rules}
+    flagged = docs.select(
+        *gb, "spans", *[c.alias(n) for n, c in flag_cols.items()]
+    )
+    exploded = S.explode_spans(flagged, keep=(*gb, *flag_cols), outer=True)
+
+    span_checked = F.col("span_index").isNotNull()
+    is_doc_row = F.col("span_index").isNull() | (F.col("span_index") == 0)
+    aggs = [
+        F.sum(span_checked.cast("long")).alias("_n_spans"),
+        F.sum(is_doc_row.cast("long")).alias("_n_docs"),
+    ]
+    for r in rules.span_rules:
+        aggs.append(
+            F.sum((span_checked & _null_safe_violated(r.violated())).cast("long"))
+            .alias(f"_v_{r.rule_id}")
         )
+    for r in rules.doc_rules:
+        aggs.append(
+            F.sum((is_doc_row & F.col(f"_df_{r.rule_id}")).cast("long"))
+            .alias(f"_v_{r.rule_id}")
+        )
+    tot = exploded.groupBy(*gb).agg(*aggs)
+
+    def unpivot(rule_list, n_col: str) -> DataFrame:
+        stack_args = ", ".join(f"'{r.rule_id}', `_v_{r.rule_id}`" for r in rule_list)
         return tot.selectExpr(
             *gb,
             f"stack({len(rule_list)}, {stack_args}) as (rule_id, n_violations)",
@@ -190,20 +217,9 @@ def verdicts(docs: DataFrame, rules: RuleSet | None = None,
 
     parts = []
     if rules.span_rules:
-        exploded = S.explode_spans(docs, keep=("doc_id", *by))
-        span_aggs = [F.count(F.lit(1)).alias("_n_spans")] + [
-            F.sum(_null_safe_violated(r.violated()).cast("long")).alias(f"_v_{r.rule_id}")
-            for r in rules.span_rules
-        ]
-        parts.append(unpivot(exploded.groupBy(*gb).agg(*span_aggs),
-                             rules.span_rules, "_n_spans"))
+        parts.append(unpivot(rules.span_rules, "_n_spans"))
     if rules.doc_rules:
-        doc_aggs = [F.count(F.lit(1)).alias("_n_docs")] + [
-            F.sum(_null_safe_violated(r.violated()).cast("long")).alias(f"_v_{r.rule_id}")
-            for r in rules.doc_rules
-        ]
-        parts.append(unpivot(docs.groupBy(*gb).agg(*doc_aggs),
-                             rules.doc_rules, "_n_docs"))
+        parts.append(unpivot(rules.doc_rules, "_n_docs"))
     both = parts[0]
     for p in parts[1:]:
         both = both.unionByName(p)
@@ -214,6 +230,26 @@ def verdicts(docs: DataFrame, rules: RuleSet | None = None,
         "rule_id",
         "n_checked",
         "n_violations",
+        rate.alias("violation_rate"),
+        (rate <= rules.max_violation_rate).alias("pass"),
+    )
+
+
+def rollup_verdicts(vd_part: DataFrame, rules: RuleSet | None = None,
+                    drop: tuple[str, ...] = ("part_key",)) -> DataFrame:
+    """Global verdicts derived from the per-partition verdict table —
+    no second scan of the data; at 10^12 docs the rollup reads the tiny
+    verdict table, never the corpus."""
+    rules = rules or RuleSet()
+    agg = (
+        vd_part.groupBy("rule_id")
+        .agg(F.sum("n_checked").alias("n_checked"),
+             F.sum("n_violations").alias("n_violations"))
+    )
+    rate = F.when(F.col("n_checked") > 0,
+                  F.col("n_violations") / F.col("n_checked")).otherwise(F.lit(0.0))
+    return agg.select(
+        "rule_id", "n_checked", "n_violations",
         rate.alias("violation_rate"),
         (rate <= rules.max_violation_rate).alias("pass"),
     )

@@ -64,10 +64,14 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     tables.write_violations(all_v, os.path.join(output, "violations"),
                             partition_by=("rule_id",))
 
-    vd = R.verdicts(docs, rules)
+    # one scan for per-partition verdicts; global verdicts are a rollup
+    # of the tiny per-partition table, not a second pass over the docs
     vd_part = R.verdicts(docs, rules, by=("part_key",))
-    tables.write_violations(vd, os.path.join(output, "verdicts"))
     tables.write_violations(vd_part, os.path.join(output, "verdicts_by_partition"))
+    vd = R.rollup_verdicts(
+        spark.read.parquet(os.path.join(output, "verdicts_by_partition")), rules
+    )
+    tables.write_violations(vd, os.path.join(output, "verdicts"))
 
     st = stats.column_stats(docs, ["doc_id", "spans"], by=("part_key",))
     tables.write_violations(st, os.path.join(output, "column_stats"))
