@@ -741,6 +741,65 @@ WHERE a.vec_id < 100
 """
 
 
+def q_tpch_q6(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1994-01-01")
+            & (F.col("l_shipdate") < "1995-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(28,4)")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS revenue,
+       count(*) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q_sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min) → per-session stats."""
+    from .operators.sessions import session_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_stats(ev)
+
+
+SQL_SESSIONIZE = """
+WITH lagged AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+  FROM events
+), breaks AS (
+  SELECT user_id, ts,
+         CASE WHEN prev_ts IS NULL
+                OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+              THEN 1 ELSE 0 END AS is_break
+  FROM lagged
+), sessions AS (
+  SELECT user_id, ts,
+         sum(is_break) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM breaks
+)
+SELECT user_id, session_seq, count(*) AS n_events,
+       CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
+FROM sessions GROUP BY user_id, session_seq
+"""
+
+
 # --------------------------------------------- rows-only (no SQL equivalent)
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -830,6 +889,8 @@ QUERIES = {
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     "drift_ks_event_value": (q_drift_ks_event_value, SQL_DRIFT_KS),
     "eval_averaged": (q_eval_averaged, SQL_EVAL_AVERAGED),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP),
