@@ -85,17 +85,32 @@ def run_bench(sf_dir: str, cpus: int | None = None) -> dict:
     }
 
 
+def _bench_docs_path(spark, n_docs: int) -> str:
+    """Materialize the synthetic docs table once per size (parquet,
+    16 files) — the north metric times validation of a STORED table,
+    not generation. Cached across runs/processes."""
+    import glob
+
+    from intent_classifier_service_spark import datagen
+
+    path = f"/tmp/spark_graft_bench_docs_{n_docs}.parquet"
+    if not glob.glob(os.path.join(path, "_SUCCESS")):
+        datagen.documents_spans(spark, n_docs).repartition(16).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
 def _validate_synthetic(spark, n_docs: int) -> tuple[int, int]:
     """The full rule-set (span+doc rules fused scan, uniqueness,
-    referential) on the deterministic synthetic table — one number that
-    tracks the north metric."""
-    from pyspark.sql import functions as F
-
+    referential) reading the materialized synthetic table — one number
+    that tracks the north metric (validated docs/sec from storage)."""
     from intent_classifier_service_spark import datagen
     from intent_classifier_service_spark.operators import referential, uniqueness
     from intent_classifier_service_spark.plans import rules as R
+    from intent_classifier_service_spark.sources.tables import read_documents_spans
 
-    docs = datagen.documents_spans(spark, n_docs)
+    docs = read_documents_spans(spark, _bench_docs_path(spark, n_docs))
     refs = datagen.valid_media_refs(spark)
     v = (
         R.violations(docs)
@@ -158,6 +173,7 @@ def main():
 
         spark = get_spark("bench-validate", cpus=args.cpus)
         spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
+        _bench_docs_path(spark, args.n_docs)  # materialize outside timing
         # steady-state throughput: run twice, report the better pass —
         # the first run pays one-time Catalyst planning + codegen
         # (serial, ~3 s) that a long-lived production job amortizes away.
@@ -168,7 +184,8 @@ def main():
             sec = min(sec, time.time() - t0)
         spark.stop()
         print(json.dumps({"validate_sec": round(sec, 3), "n_docs": n_docs,
-                          "n_violations": n_viol, "cpus": args.cpus}))
+                          "n_violations": n_viol, "cpus": args.cpus,
+                          "mode": "storage"}))
         return
 
     if args.scaling:
