@@ -128,3 +128,10 @@ def cooccurrence_matrix(df: DataFrame, actual: str = "actual",
         .groupBy("actual_class", "predicted_class")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+def cooccurrence_pivot(cooc: DataFrame) -> DataFrame:
+    """Long → wide NxN matrix for display/CSV export (the reference's
+    persisted custom_confusion_matrix shape). Pivot only the small
+    class×class table, never the fact data."""
+    return cooc.groupBy("actual_class").pivot("predicted_class").sum("n").na.fill(0)
