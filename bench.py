@@ -106,18 +106,12 @@ def _validate_synthetic(spark, n_docs: int) -> tuple[int, int]:
     referential) reading the materialized synthetic table — one number
     that tracks the north metric (validated docs/sec from storage)."""
     from intent_classifier_service_spark import datagen
-    from intent_classifier_service_spark.operators import referential, uniqueness
     from intent_classifier_service_spark.plans import rules as R
     from intent_classifier_service_spark.sources.tables import read_documents_spans
 
     docs = read_documents_spans(spark, _bench_docs_path(spark, n_docs))
     refs = datagen.valid_media_refs(spark)
-    v = (
-        R.violations(docs)
-        .unionByName(referential.referential_violations(docs, refs))
-        .unionByName(uniqueness.uniqueness_violations(docs))
-    )
-    n_viol = v.count()
+    n_viol = R.full_violations(docs, refs).count()
     return n_docs, n_viol
 
 

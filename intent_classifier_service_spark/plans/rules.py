@@ -235,6 +235,62 @@ def verdicts(docs: DataFrame, rules: RuleSet | None = None,
     )
 
 
+def full_violations(docs: DataFrame, valid_refs: DataFrame | None = None,
+                    rules: RuleSet | None = None,
+                    keep: tuple[str, ...] = (),
+                    n_salts: int = 32) -> DataFrame:
+    """The complete violation pass in TWO scans of the table instead of
+    one per rule family:
+
+      scan 1 (heavy): explode spans once → broadcast-LEFT-join the
+        valid-refs dim (adds a match flag; same hash probe as the
+        left_anti, but the stream continues) → emit span-rule AND
+        referential violations from one fused filter/explode chain;
+        doc rules emit from the pre-explode side of the same scan's
+        lineage (columnar doc_id/spans only).
+      scan 2 (light): salted two-phase uniqueness — reads only the
+        doc_id column (columnar parquet scan, no span decode).
+
+    Output identical to violations() ∪ referential_violations() ∪
+    uniqueness_violations() (golden-pinned)."""
+    from ..operators.uniqueness import uniqueness_violations
+
+    rules = rules or RuleSet()
+    keep_cols = ["doc_id", *keep]
+    out_cols = [*keep, *VIOLATION_COLS] if keep else list(VIOLATION_COLS)
+
+    exploded = S.explode_spans(docs, keep=tuple(keep_cols))
+    span_rules = list(rules.span_rules)
+    if valid_refs is not None:
+        marked_dim = F.broadcast(
+            valid_refs.select("media_ref").withColumn("_ref_ok", F.lit(True))
+        )
+        exploded = exploded.join(marked_dim, "media_ref", "left")
+        span_rules.append(SpanRule(
+            "R-REF-MEDIA",
+            violated=lambda: F.col("media_ref").isNotNull() & F.col("_ref_ok").isNull(),
+            observed=lambda: F.col("media_ref"),
+            expected="media_ref in valid_media_refs",
+        ))
+    span_v = _emit(span_rules, exploded, F.col("span_index").cast("int"), keep_cols)
+    parts = [span_v.select(*out_cols)]
+    if rules.doc_rules:
+        parts.append(
+            _emit(rules.doc_rules, docs, F.lit(None).cast("int"), keep_cols)
+            .select(*out_cols)
+        )
+    uniq = uniqueness_violations(docs, n_salts=n_salts)
+    if keep:
+        dtypes = dict(docs.dtypes)
+        for k in keep:
+            uniq = uniq.withColumn(k, F.lit(None).cast(dtypes[k]))
+    parts.append(uniq.select(*out_cols))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def rollup_verdicts(vd_part: DataFrame, rules: RuleSet | None = None,
                     drop: tuple[str, ...] = ("part_key",)) -> DataFrame:
     """Global verdicts derived from the per-partition verdict table —

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from intent_classifier_service_spark import datagen  # noqa: E402
-from intent_classifier_service_spark.operators import drift, referential, stats, uniqueness  # noqa: E402
+from intent_classifier_service_spark.operators import drift, stats  # noqa: E402
 from intent_classifier_service_spark.plans import rules as R  # noqa: E402
 from intent_classifier_service_spark.session import get_spark  # noqa: E402
 from intent_classifier_service_spark.sources import tables  # noqa: E402
@@ -52,15 +52,10 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     ).persist()
     n_docs = docs.count()
 
-    v_rules = R.violations(docs, rules, keep=("part_key",))
-    v_ref = referential.referential_violations(docs, valid_refs).withColumn(
-        "part_key", F.lit(None).cast("int")
-    )
-    v_uniq = uniqueness.uniqueness_violations(docs).withColumn(
-        "part_key", F.lit(None).cast("int")
-    )
-    cols = ["part_key", *R.VIOLATION_COLS]
-    all_v = v_rules.select(cols).unionByName(v_ref.select(cols)).unionByName(v_uniq.select(cols))
+    # fused two-scan pass: span + referential violations from one
+    # explode (broadcast-left-join flag), uniqueness from a doc_id-only
+    # columnar scan (plans/rules.py full_violations)
+    all_v = R.full_violations(docs, valid_refs, rules, keep=("part_key",))
     tables.write_violations(all_v, os.path.join(output, "violations"),
                             partition_by=("rule_id",))
 
