@@ -86,14 +86,46 @@ def ks_from_histograms(current: DataFrame, baseline: DataFrame) -> float:
     return float(row["ks"] or 0.0)
 
 
+def drift_profile(docs: DataFrame, lo: int, hi: int,
+                  n_bins: int = 32) -> tuple[DataFrame, DataFrame]:
+    """Both drift distributions — span-kind frequencies AND the offset
+    histogram — from ONE scan via GROUPING SETS ((kind), (off_bucket)):
+    a single hash aggregation produces rows for each grouping, split
+    afterwards on the tiny result. At 10^12 docs this halves drift I/O."""
+    width = max((hi - lo) / n_bins, 1e-9)
+    bucket = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("offset") - lo) / width)),
+    ).cast("int")
+    exploded = explode_spans(docs).select("kind", bucket.alias("off_bucket"))
+    counts = (
+        exploded.groupingSets([["kind"], ["off_bucket"]], "kind", "off_bucket")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .collect()
+    )
+    kind_rows = [(r["kind"], r["count"]) for r in counts if r["kind"] is not None]
+    off_rows = [(r["off_bucket"], r["count"]) for r in counts if r["off_bucket"] is not None]
+    spark = docs.sparkSession
+    k_tot = sum(c for _, c in kind_rows) or 1
+    o_tot = sum(c for _, c in off_rows) or 1
+    kind_df = spark.createDataFrame(
+        [(k, c / k_tot) for k, c in kind_rows], "bucket string, freq double"
+    )
+    off_df = spark.createDataFrame(
+        [(b, c / o_tot) for b, c in off_rows], "bucket int, freq double"
+    )
+    return kind_df, off_df
+
+
 def drift_verdicts(docs: DataFrame, baseline_kind: DataFrame,
                    baseline_offsets: DataFrame, lo: int, hi: int,
                    psi_threshold: float = 0.2,
                    ks_threshold: float = 0.1) -> list[dict]:
     """Run both drift rules; returns small verdict dicts for the gate.
-    PSI > 0.2 is the conventional 'significant shift' line."""
-    kind_psi = psi(span_kind_frequencies(docs), baseline_kind)
-    off_hist = offset_histogram(docs, lo, hi)
+    PSI > 0.2 is the conventional 'significant shift' line. One scan of
+    the corpus (drift_profile); the PSI/KS math runs on ≤ n_bins rows."""
+    kind_freq, off_hist = drift_profile(docs, lo, hi)
+    kind_psi = psi(kind_freq, baseline_kind)
     off_ks = ks_from_histograms(off_hist, baseline_offsets)
     return [
         {"rule_id": "R-DRIFT-KIND-PSI", "statistic": kind_psi,
