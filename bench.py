@@ -95,7 +95,7 @@ def _bench_docs_path(spark, n_docs: int) -> str:
 
     path = f"/tmp/spark_graft_bench_docs_{n_docs}.parquet"
     if not glob.glob(os.path.join(path, "_SUCCESS")):
-        datagen.documents_spans(spark, n_docs).repartition(16).write.mode(
+        datagen.documents_spans(spark, n_docs).repartition(64).write.mode(
             "overwrite"
         ).parquet(path)
     return path
