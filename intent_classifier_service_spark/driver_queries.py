@@ -741,6 +741,37 @@ WHERE a.vec_id < 100
 """
 
 
+def q_arrow_span_violations(spark, sf_dir):
+    """The mandated Arrow/pandas-UDF rule path (mapInPandas) on the
+    derived spans — must equal the union of the three span-rule
+    oracles."""
+    from .operators.arrow_rules import arrow_span_violations
+
+    return arrow_span_violations(derived_spans(_t(spark, sf_dir, "documents")))
+
+
+SQL_ARROW_SPAN = (
+    SPANS_CTE
+    + """
+SELECT doc_id, 'R-SPAN-KIND' AS rule_id, span_index,
+       kind AS observed, 'kind in {text,media}' AS expected
+FROM spans_prev WHERE kind NOT IN ('text', 'media')
+UNION ALL
+SELECT doc_id, 'R-SPAN-MUTEX', span_index,
+       'text=' || coalesce(text, '<null>') || ',media_ref=' || coalesce(media_ref, '<null>'),
+       'exactly one of text/media_ref set, matching kind'
+FROM spans_prev
+WHERE (kind = 'text' AND (text IS NULL OR media_ref IS NOT NULL))
+   OR (kind = 'media' AND (media_ref IS NULL OR text IS NOT NULL))
+UNION ALL
+SELECT doc_id, 'R-SPAN-MONO', span_index,
+       'offset=' || off || ',prev=' || prev_off,
+       'offset strictly increasing'
+FROM spans_prev WHERE prev_off IS NOT NULL AND off <= prev_off
+"""
+)
+
+
 def q_tpch_q6(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
@@ -871,6 +902,7 @@ QUERIES = {
     "span_mutex_violations": (q_span_mutex_violations, SQL_SPAN_MUTEX),
     "span_mono_violations": (q_span_mono_violations, SQL_SPAN_MONO),
     "span_rule_verdicts": (q_span_rule_verdicts, SQL_SPAN_VERDICTS),
+    "arrow_span_violations": (q_arrow_span_violations, SQL_ARROW_SPAN),
     "uniqueness_lineitem_orderkey": (q_uniqueness_lineitem_orderkey, SQL_UNIQUENESS),
     "referential_unknown_event_types": (q_referential_unknown_event_types, SQL_REF_EVENT_TYPES),
     "referential_media_refs": (q_referential_media_refs, SQL_REF_MEDIA),
