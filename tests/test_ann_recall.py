@@ -1,0 +1,45 @@
+"""ANN quality: LSH and IVF top-k recall vs brute force on the real
+embeddings table — the approximate paths must actually approximate."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from intent_classifier_service_spark.operators import similarity
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 3).collect()
+    ]
+
+
+def _topk_ids(df):
+    out = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["vec_id"])
+    return out
+
+
+def test_lsh_recall_vs_brute_force(spark, emb, queries):
+    exact = _topk_ids(similarity.brute_force_topk(emb, queries, k=10))
+    approx = _topk_ids(similarity.lsh_topk(emb, queries, k=10, n_bits=32, bands=8))
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
+    # 8 bands of 4 bits: candidates are plentiful → decent recall floor
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
+def test_ivf_recall_vs_brute_force(spark, emb, queries):
+    exact = _topk_ids(similarity.brute_force_topk(emb, queries, k=10))
+    approx = _topk_ids(similarity.ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=4))
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
+    # probing half the cells of a coarse quantizer
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
