@@ -24,6 +24,13 @@ ERR_TEXT_BOUNDS = "R-INPUT-TEXT-BOUNDS"      # span text length outside 1..500
 
 INPUT_RULES = [
     R.DocRule(
+        # whole-row-empty ↔ the reference's 400 BODY_MISSING (server.py:70)
+        ERR_BODY_MISSING,
+        violated=lambda: F.col("doc_id").isNull() & F.col("spans").isNull(),
+        observed=lambda: F.lit("<empty row>"),
+        expected="request body present",
+    ),
+    R.DocRule(
         ERR_TEXT_MISSING,
         violated=lambda: F.col("doc_id").isNull() | F.col("spans").isNull(),
         observed=lambda: F.format_string(

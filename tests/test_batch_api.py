@@ -19,10 +19,11 @@ def test_validate_batch_clean(spark):
 
 
 def test_input_contract_missing_fields(spark):
-    docs = _docs(spark, [(None, [("text", "x", None, 0)]), ("d2", None)])
+    docs = _docs(spark, [(None, [("text", "x", None, 0)]), ("d2", None), (None, None)])
     _, violations = batch_api.validate_batch(docs)
     got = {r["rule_id"] for r in violations.collect()}
     assert batch_api.ERR_TEXT_MISSING in got
+    assert batch_api.ERR_BODY_MISSING in got  # fully-empty row → BODY_MISSING
 
 
 def test_input_contract_text_bounds(spark):
