@@ -831,6 +831,46 @@ FROM sessions GROUP BY user_id, session_seq
 """
 
 
+def q_rollup_orders(spark, sf_dir):
+    """Multi-level aggregation: ROLLUP(status, priority) — subtotals +
+    grand total in one pass (Catalyst expands to a single shuffle)."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
+        )
+    )
+
+
+SQL_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_percentiles_lineitem(spark, sf_dir):
+    """Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    quantile_cont) of quantity per returnflag."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(l_quantity, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 6).alias("price_p99"),
+    )
+
+
+SQL_PERCENTILES = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.5), 6) AS p50,
+       round(quantile_cont(l_quantity, 0.9), 6) AS p90,
+       round(quantile_cont(l_extendedprice, 0.99), 6) AS price_p99
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------- rows-only (no SQL equivalent)
 
 def q_minhash_lsh_pairs(spark, sf_dir):
@@ -922,6 +962,8 @@ QUERIES = {
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
+    "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     "drift_ks_event_value": (q_drift_ks_event_value, SQL_DRIFT_KS),
     "eval_averaged": (q_eval_averaged, SQL_EVAL_AVERAGED),
