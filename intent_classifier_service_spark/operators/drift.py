@@ -117,6 +117,31 @@ def drift_profile(docs: DataFrame, lo: int, hi: int,
     return kind_df, off_df
 
 
+def write_baseline(docs: DataFrame, path: str, lo: int = 0, hi: int = 128,
+                   n_bins: int = 32) -> None:
+    """Freeze the current distributions as the drift baseline (one
+    parquet with bucket_kind ∈ {span_kind, offset_hist} — FIXTURES.md
+    §5 shape). In production this runs once on a blessed snapshot."""
+    kind_df, off_df = drift_profile(docs, lo, hi, n_bins)
+    spark = docs.sparkSession
+    rows = [("span_kind", str(r["bucket"]), float(r["freq"])) for r in kind_df.collect()]
+    rows += [("offset_hist", str(r["bucket"]), float(r["freq"])) for r in off_df.collect()]
+    spark.createDataFrame(rows, "bucket_kind string, bucket string, freq double") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_baseline(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(kind_freq, offset_hist) from a frozen baseline parquet."""
+    b = spark.read.parquet(path)
+    kind_df = b.filter(F.col("bucket_kind") == "span_kind").select(
+        F.col("bucket"), F.col("freq")
+    )
+    off_df = b.filter(F.col("bucket_kind") == "offset_hist").select(
+        F.col("bucket").cast("int").alias("bucket"), F.col("freq")
+    )
+    return kind_df, off_df
+
+
 def drift_verdicts(docs: DataFrame, baseline_kind: DataFrame,
                    baseline_offsets: DataFrame, lo: int, hi: int,
                    psi_threshold: float = 0.2,

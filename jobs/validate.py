@@ -32,7 +32,8 @@ from intent_classifier_service_spark.streaming.checkpoint import CheckpointStore
 
 
 def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = None,
-        resume: bool = False, rules: R.RuleSet | None = None) -> dict:
+        resume: bool = False, rules: R.RuleSet | None = None,
+        baseline: str | None = None) -> dict:
     rules = rules or R.RuleSet()
     t0 = time.time()
     if store is not None and resume:
@@ -71,11 +72,12 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     st = stats.column_stats(docs, ["doc_id", "spans"], by=("part_key",))
     tables.write_violations(st, os.path.join(output, "column_stats"))
 
-    baseline_kind = drift.span_kind_frequencies(docs)
-    # self-drift ≡ 0 on a fresh run; real deployments load the frozen one
-    drift_rows = drift.drift_verdicts(docs, baseline_kind,
-                                      drift.offset_histogram(docs, 0, 128),
-                                      lo=0, hi=128)
+    # drift vs the frozen baseline snapshot; first run freezes one
+    baseline_path = os.path.join(output, "..", "drift_baseline") if baseline is None else baseline
+    if not os.path.exists(baseline_path):
+        drift.write_baseline(docs, baseline_path)
+    b_kind, b_off = drift.load_baseline(spark, baseline_path)
+    drift_rows = drift.drift_verdicts(docs, b_kind, b_off, lo=0, hi=128)
 
     gate_pass = R.gate(vd) and all(d["pass"] for d in drift_rows)
 
@@ -106,6 +108,8 @@ def main() -> int:
     ap.add_argument("--n-docs", type=int, default=100_000)
     ap.add_argument("--max-violation-rate", type=float, default=0.05,
                     help="per-rule gate threshold (reference: valid >= 95%%)")
+    ap.add_argument("--baseline", default=None,
+                    help="frozen drift-baseline parquet (written on first run if absent)")
     args = ap.parse_args()
 
     spark = get_spark("validate")
@@ -117,7 +121,8 @@ def main() -> int:
     refs = datagen.valid_media_refs(spark)
     store = CheckpointStore(spark, args.checkpoint) if args.checkpoint else None
     rules = R.RuleSet(max_violation_rate=args.max_violation_rate)
-    result = run(spark, docs, refs, args.output, store, args.resume, rules)
+    result = run(spark, docs, refs, args.output, store, args.resume, rules,
+                 baseline=args.baseline)
     print(json.dumps(result))
     return 0 if result["gate_pass"] else 1
 
