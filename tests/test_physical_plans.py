@@ -1,0 +1,69 @@
+"""Plan-quality gates: the physical plans Catalyst produces for the
+engine's key operators must keep their scale-critical properties —
+pushdown, pruning, broadcast-only joins, top-k without global sort,
+partial aggregation. A regression here is a performance bug even if
+results stay correct."""
+
+import re
+
+from intent_classifier_service_spark import datagen, driver_queries as DQ
+from intent_classifier_service_spark.operators import referential
+from intent_classifier_service_spark.plans import rules as R
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q1_pushdown_and_pruning(spark):
+    p = _plan(DQ.q_tpch_q1(spark, SF))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual" in p
+    m = re.search(r"ReadSchema: struct<([^\n]*)", p)
+    # the plan printer may truncate the line; check pruning on the
+    # visible prefix — key columns must be absent, projected ones present
+    line = m.group(1)
+    assert "l_quantity" in line
+    assert "l_orderkey" not in line and "l_partkey" not in line
+    assert "HashAggregate" in p  # partial+final hash agg
+
+
+def test_q3_broadcast_only_topk(spark):
+    p = _plan(DQ.q_tpch_q3(spark, SF))
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p  # no global sort for top-10
+
+
+def test_referential_is_broadcast_anti(spark):
+    docs = datagen.documents_spans(spark, 100)
+    p = _plan(referential.referential_violations(docs, datagen.valid_media_refs(spark)))
+    assert "BroadcastHashJoin" in p and "LeftAnti" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_span_query_prunes_documents_scan(spark):
+    p = _plan(DQ.q_span_kind_violations(spark, SF))
+    m = re.search(r"ReadSchema: struct<([^\n]*)", p)
+    assert m and "doc_id" in m.group(1) and "text" in m.group(1)
+    assert "lang" not in m.group(1) and "source" not in m.group(1)
+
+
+def test_rule_pass_has_no_shuffle_before_emit(spark):
+    """The fused span-rule violation pass must be shuffle-free: scan →
+    project/explode/filter only (Exchange appears only if the caller
+    repartitions)."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from intent_classifier_service_spark.driver_queries import derived_spans
+
+    v = R.violations(derived_spans(docs), R.RuleSet(doc_rules=[]))
+    p = _plan(v)
+    # exactly the one deliberate round-robin repartition from
+    # derived_spans; the rule pass itself adds none
+    assert p.count("Exchange") <= 1
+
+
+def test_word_topk_take_ordered(spark):
+    p = _plan(DQ.q_word_topk(spark, SF))
+    assert "TakeOrderedAndProject" in p
