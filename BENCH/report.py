@@ -61,7 +61,7 @@ def main():
         )
     lines += ["", "## N → 4N scaling", "", "| input docs | pair | speedup | efficiency |", "|---|---|---|---|"]
     for n in sorted({k[0] for k in best}):
-        for lo, hi in [(2, 8), (8, 32)]:
+        for lo, hi in [(2, 8), (4, 16), (8, 32)]:
             if (n, lo) in best and (n, hi) in best:
                 sp = best[(n, lo)] / best[(n, hi)]
                 lines.append(f"| {n:,} | local[{lo}] → local[{hi}] | {sp:.2f}× | {sp / 4:.2f} |")
