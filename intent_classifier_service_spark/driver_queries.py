@@ -155,7 +155,7 @@ def q_span_rule_verdicts(spark, sf_dir):
 
 
 SQL_SPAN_VERDICTS = SPANS_CTE + """
-SELECT rule_id, n_checked, n_violations,
+SELECT rule_id, n_checked, CAST(n_violations AS BIGINT) AS n_violations,
        round(CAST(n_violations AS DOUBLE) / n_checked, 6) AS violation_rate,
        (CAST(n_violations AS DOUBLE) / n_checked) <= 0.05 AS pass
 FROM (
@@ -344,7 +344,9 @@ SQL_EVAL_PRF = _EVAL_CTE + """
          count(*) AS n_rows
   FROM langs c CROSS JOIN ev GROUP BY c.lang
 )
-SELECT class, tp, fp, fn, n_rows - tp - fp - fn AS tn, support,
+SELECT class, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       CAST(fn AS BIGINT) AS fn, CAST(n_rows - tp - fp - fn AS BIGINT) AS tn,
+       CAST(support AS BIGINT) AS support,
        round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0 END, 6) AS precision,
        round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE)/(tp+fn) ELSE 0 END, 6) AS recall,
        round(CASE WHEN (CASE WHEN tp+fp>0 THEN CAST(tp AS DOUBLE)/(tp+fp) ELSE 0 END)
@@ -447,12 +449,19 @@ def q_dedup_exact_prefix(spark, sf_dir):
         "doc_id",
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 2), " ").alias("text"),
     )
-    return dedup.exact_duplicates(docs).select("n_dups", "keep_id", "dup_ids")
+    # dup_ids is joined into a scalar string: the driver's pandas
+    # canonicalizer can't sort/hash a list column (round-1 harness crash)
+    return dedup.exact_duplicates(docs).select(
+        "n_dups", "keep_id",
+        F.array_join(
+            F.transform(F.col("dup_ids"), lambda x: x.cast("string")), ","
+        ).alias("dup_ids"),
+    )
 
 
 SQL_DEDUP_PREFIX = """
 SELECT count(*) AS n_dups, min(doc_id) AS keep_id,
-       list_sort(list(doc_id)) AS dup_ids
+       list_aggr(list_transform(list_sort(list(doc_id)), x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS dup_ids
 FROM (
   SELECT doc_id,
          regexp_replace(lower(trim(l[1] || ' ' || l[2])), '\\s+', ' ', 'g') AS k
@@ -496,17 +505,17 @@ def q_text_token_stats(spark, sf_dir):
     return prof.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
-        F.min("n_tokens").alias("min_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
+        F.min("n_tokens").cast("long").alias("min_tokens"),
+        F.max("n_tokens").cast("long").alias("max_tokens"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
     )
 
 
 SQL_TEXT_TOKEN_STATS = """
 SELECT lang, count(*) AS n_docs,
-       sum(len(string_split(lower(trim(text)), ' '))) AS total_tokens,
-       min(len(string_split(lower(trim(text)), ' '))) AS min_tokens,
-       max(len(string_split(lower(trim(text)), ' '))) AS max_tokens,
+       CAST(sum(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS total_tokens,
+       CAST(min(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS min_tokens,
+       CAST(max(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS max_tokens,
        round(avg(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
 FROM documents GROUP BY lang
 """
@@ -537,14 +546,23 @@ def q_tpch_q1(spark, sf_dir):
             ).alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
+        # decimal sums are exact; the final double cast is deterministic on
+        # both engines (the driver's value hash sees identical float64s)
+        .select(
+            "l_returnflag", "l_linestatus",
+            F.round(F.col("sum_qty").cast("double"), 2).alias("sum_qty"),
+            F.round(F.col("sum_base_price").cast("double"), 2).alias("sum_base_price"),
+            F.round(F.col("sum_disc_price").cast("double"), 4).alias("sum_disc_price"),
+            "count_order",
+        )
     )
 
 
 SQL_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS sum_disc_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS sum_base_price,
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE), 4) AS sum_disc_price,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -569,19 +587,28 @@ def q_tpch_q3(spark, sf_dir):
         .agg(revenue)
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round(F.col("revenue").cast("double"), 4).alias("revenue"),
+        )
     )
 
 
 SQL_TPCH_Q3 = """
-SELECT l_orderkey, o_orderdate,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS revenue
-FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-JOIN customer ON o_custkey = c_custkey
-WHERE c_mktsegment = 'BUILDING'
-  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
-GROUP BY l_orderkey, o_orderdate
-ORDER BY revenue DESC, l_orderkey ASC LIMIT 10
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(CAST(revenue_exact AS DOUBLE), 4) AS revenue
+FROM (
+  SELECT l_orderkey, o_orderdate,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS revenue_exact
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE c_mktsegment = 'BUILDING'
+    AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+    AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+  GROUP BY l_orderkey, o_orderdate
+  ORDER BY revenue_exact DESC, l_orderkey ASC LIMIT 10
+)
 """
 
 
@@ -700,12 +727,13 @@ def q_tpch_q5(spark, sf_dir):
                 (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,4)")
             ).alias("revenue")
         )
+        .select("n_name", F.round(F.col("revenue").cast("double"), 4).alias("revenue"))
     )
 
 
 SQL_TPCH_Q5 = """
 SELECT n_name,
-       sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS revenue
+       round(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(28,4))) AS DOUBLE), 4) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN supplier ON l_suppkey = s_suppkey
@@ -786,11 +814,15 @@ def q_tpch_q6(spark, sf_dir):
             F.sum((dec("l_extendedprice") * dec("l_discount")).cast("decimal(28,4)")).alias("revenue"),
             F.count(F.lit(1)).alias("n_rows"),
         )
+        .select(
+            F.round(F.coalesce(F.col("revenue").cast("double"), F.lit(0.0)), 4).alias("revenue"),
+            "n_rows",
+        )
     )
 
 
 SQL_TPCH_Q6 = """
-SELECT sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS revenue,
+SELECT round(coalesce(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(28,4))) AS DOUBLE), 0.0), 4) AS revenue,
        count(*) AS n_rows
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
@@ -825,7 +857,7 @@ WITH lagged AS (
                              ROWS UNBOUNDED PRECEDING) AS session_seq
   FROM breaks
 )
-SELECT user_id, session_seq, count(*) AS n_events,
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
        CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT) AS duration_sec
 FROM sessions GROUP BY user_id, session_seq
 """
@@ -841,12 +873,16 @@ def q_rollup_orders(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"),
         )
+        .select(
+            "o_orderstatus", "o_orderpriority", "n",
+            F.round(F.col("total").cast("double"), 2).alias("total"),
+        )
     )
 
 
 SQL_ROLLUP_ORDERS = """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-       sum(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
