@@ -43,17 +43,29 @@ def _batch_violations(pdf: pd.DataFrame) -> pd.DataFrame:
     )
     if len(pdf) == 0:
         return empty
-    ex = pdf[["doc_id"]].join(pdf["spans"].explode().rename("span"))
-    ex = ex[ex["span"].notna()]
-    if len(ex) == 0:
+    # Empty/null arrays contribute no span rows (JVM: non-outer explode),
+    # but null ELEMENTS of non-empty arrays are kept as all-null field
+    # rows — the JVM path indexes them (span_index counts them), fires
+    # R-SPAN-KIND on the null kind, and breaks the monotone chain at
+    # them. Dropping them here would shift every later span_index and
+    # compute prev_offset across the gap (round-1 parity bug).
+    lens = pdf["spans"].map(lambda a: 0 if a is None else len(a))
+    nonempty = pdf[lens > 0]
+    if len(nonempty) == 0:
         return empty
+    ex = nonempty[["doc_id"]].join(nonempty["spans"].explode().rename("span"))
     ex = ex.reset_index(names="_row")
     ex["span_index"] = ex.groupby("_row").cumcount().astype(np.int32)
-    fields = pd.DataFrame(ex["span"].tolist())  # one ragged->columnar flatten
+    fields = pd.DataFrame(  # one ragged->columnar flatten; None -> all-null row
+        [s if s is not None else {} for s in ex["span"]]
+    )
+    for c in ("kind", "text", "media_ref", "offset"):
+        if c not in fields.columns:
+            fields[c] = None
     kind = fields["kind"].to_numpy(dtype=object)
     text = fields["text"].to_numpy(dtype=object)
     ref = fields["media_ref"].to_numpy(dtype=object)
-    offset = fields["offset"].to_numpy()
+    offset = fields["offset"].to_numpy(dtype=float)  # NaN-safe comparisons
 
     text_null = pd.isna(text)
     ref_null = pd.isna(ref)

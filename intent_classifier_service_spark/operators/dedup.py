@@ -92,11 +92,21 @@ def shingles(col="text", n: int = 3):
 
 def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", n: int = 3,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_shingle_df: int | None = 1000) -> DataFrame:
     """(id_a, id_b, jaccard) for pairs above threshold. Candidates come
     from an inverted-index self-join on shingle hash: each shared
     shingle contributes one intersection count, and |A∪B| = |A|+|B|−∩,
-    so exact Jaccard needs no second pass over texts."""
+    so exact Jaccard needs no second pass over texts.
+
+    ``max_shingle_df`` caps the document frequency of shingles allowed
+    into the self-join: one stop-shingle appearing in k docs would
+    otherwise emit k·(k−1)/2 candidate pairs — quadratic in the hottest
+    key, fatal at 100 TB. Dropping df>cap shingles undercounts the
+    intersection for pairs that share them (Jaccard becomes a lower
+    bound), the standard stop-shingle tradeoff; near-dup pairs share
+    plenty of rare shingles, so recall at high thresholds is
+    unaffected. Pass None to disable (exact, small data only)."""
     sh = docs.select(
         F.col(id_col).alias("id"),
         shingles(text_col, n).alias("sh"),
@@ -104,6 +114,15 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
     inv = sh.select("id", "n_sh", F.explode("sh").alias("s")).withColumn(
         "s", F.xxhash64("s")
     )
+    if max_shingle_df is not None:
+        # pre-pass: shingle document frequency; broadcast-free semi-join
+        # of the rare side (the df table is aggregated, tiny vs corpus)
+        rare = (
+            inv.groupBy("s").agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_shingle_df)
+            .select("s")
+        )
+        inv = inv.join(rare, "s", "left_semi")
     a = inv.alias("a")
     b = inv.alias("b")
     pairs = (
@@ -125,11 +144,18 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 # ------------------------------------------------------------------ minhash
 
 def _minhash_params(num_hashes: int, seed: int = 42):
+    """Multiply-shift family in the 2^64 ring: h_i(x) = (a_i*x + b_i)
+    mod 2^64 with a_i odd (Dietzfelbinger et al.) — deterministic and
+    well-mixing over the full-range xxhash64 inputs. Deliberately NOT
+    the classic (a*x+b) mod p prime family: a 64-bit product wraps
+    before any mod-p reduction could apply, so claiming p-universality
+    for the wrapped form would be false."""
     rng = np.random.RandomState(seed)
-    prime = (1 << 61) - 1
-    a = rng.randint(1, prime, size=num_hashes, dtype=np.int64)
-    b = rng.randint(0, prime, size=num_hashes, dtype=np.int64)
-    return a, b, prime
+    hi = (1 << 61) - 1
+    a = rng.randint(1, hi, size=num_hashes, dtype=np.int64) | 1  # odd
+    b = rng.randint(0, hi, size=num_hashes, dtype=np.int64)
+    sentinel = hi  # empty-doc signature component (any fixed constant)
+    return a, b, sentinel
 
 
 def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
@@ -141,19 +167,19 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     arrays cross to Python, where one Arrow batch computes all
     num_hashes permutations vectorized ((a*x+b) mod p, min over axis).
     """
-    a_par, b_par, prime = _minhash_params(num_hashes, seed)
+    a_par, b_par, sentinel = _minhash_params(num_hashes, seed)
 
     @pandas_udf(ArrayType(LongType()))
     def mh(hashes: pd.Series) -> pd.Series:
         out = []
         for arr in hashes:
             if arr is None or len(arr) == 0:
-                out.append([int(prime)] * len(a_par))
+                out.append([int(sentinel)] * len(a_par))
                 continue
             x = np.asarray(arr, dtype=np.uint64).reshape(-1, 1)
-            # (a*x + b) mod p in uint64 space; p < 2^61 keeps products
-            # in range for python-object fallback-free uint64 math.
-            vals = (x * a_par.astype(np.uint64) + b_par.astype(np.uint64)) % np.uint64(prime)
+            # multiply-shift in the 2^64 ring (see _minhash_params);
+            # uint64 wraparound IS the mod-2^64 reduction.
+            vals = x * a_par.astype(np.uint64) + b_par.astype(np.uint64)
             out.append(vals.min(axis=0).astype(np.int64).tolist())
         return pd.Series(out)
 

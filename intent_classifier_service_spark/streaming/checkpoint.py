@@ -17,6 +17,12 @@ Schema:
   part_key int, status string, snapshot_id string, files_read int,
   rule_version string, n_docs long, n_violations long,
   run_id string, completed_at string
+
+A sibling log at ``<path>_rules`` stores per-(part_key, rule_id)
+n_checked/n_violations so a resumed run can reconstruct the global
+verdict table exactly: completed partitions contribute their stored
+per-rule stats, pending partitions contribute freshly computed ones,
+and the rollup over the union equals a from-scratch run.
 """
 
 from __future__ import annotations
@@ -31,6 +37,11 @@ CHECKPOINT_SCHEMA = (
     "part_key int, status string, snapshot_id string, files_read int, "
     "rule_version string, n_docs long, n_violations long, "
     "run_id string, completed_at string"
+)
+
+RULE_STATS_SCHEMA = (
+    "part_key int, rule_id string, n_checked long, n_violations long, "
+    "rule_version string, run_id string, completed_at string"
 )
 
 
@@ -76,6 +87,44 @@ class CheckpointStore:
             CHECKPOINT_SCHEMA,
         )
         self._append(row)
+
+    def append_rule_stats(self, vd_part: DataFrame) -> None:
+        """Persist per-(part_key, rule_id) n_checked/n_violations for
+        the partitions validated by this run — the lineage needed to
+        rebuild global verdicts without re-validating."""
+        now = __import__("datetime").datetime.utcnow().isoformat()
+        rows = vd_part.select(
+            F.col("part_key").cast("int"),
+            F.col("rule_id"),
+            F.col("n_checked").cast("long"),
+            F.col("n_violations").cast("long"),
+            F.lit(self.rule_version).alias("rule_version"),
+            F.lit(self.run_id).alias("run_id"),
+            F.lit(now).alias("completed_at"),
+        )
+        rows.write.mode("append").parquet(self.path + "_rules")
+
+    def completed_rule_stats(self) -> DataFrame:
+        """(part_key, rule_id, n_checked, n_violations) for partitions
+        whose latest status is 'done' — latest-wins per (part_key,
+        rule_id) by completed_at, current rule version only."""
+        if not os.path.exists(self.path + "_rules"):
+            return self.spark.createDataFrame(
+                [], "part_key int, rule_id string, n_checked long, n_violations long"
+            )
+        log = (
+            self.spark.read.schema(RULE_STATS_SCHEMA)
+            .parquet(self.path + "_rules")
+            .filter(F.col("rule_version") == self.rule_version)
+        )
+        latest = log.groupBy("part_key", "rule_id").agg(
+            F.max(F.struct("completed_at", "n_checked", "n_violations")).alias("s")
+        )
+        return latest.join(self.completed_partitions(), "part_key", "left_semi").select(
+            "part_key", "rule_id",
+            F.col("s.n_checked").alias("n_checked"),
+            F.col("s.n_violations").alias("n_violations"),
+        )
 
     def mark_done_bulk(self, stats: DataFrame, snapshot_id: str) -> None:
         """stats: (part_key, n_docs, n_violations) — one append for all

@@ -36,6 +36,7 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         baseline: str | None = None) -> dict:
     rules = rules or R.RuleSet()
     t0 = time.time()
+    docs_all = docs  # drift always sees the full table (see below)
     if store is not None and resume:
         all_parts = docs.select("part_key").distinct()
         pending = store.pending_partitions(all_parts)
@@ -61,32 +62,48 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
                             partition_by=("rule_id",))
 
     # one scan for per-partition verdicts; global verdicts are a rollup
-    # of the tiny per-partition table, not a second pass over the docs
+    # of the tiny per-partition table, not a second pass over the docs.
+    # On resume, completed partitions contribute their checkpointed
+    # per-rule stats, so the final verdict table equals a from-scratch
+    # run even when this run validated 0 docs.
     vd_part = R.verdicts(docs, rules, by=("part_key",))
     tables.write_violations(vd_part, os.path.join(output, "verdicts_by_partition"))
-    vd = R.rollup_verdicts(
-        spark.read.parquet(os.path.join(output, "verdicts_by_partition")), rules
-    )
+    vd_new = spark.read.parquet(os.path.join(output, "verdicts_by_partition"))
+    rollup_input = vd_new.select("part_key", "rule_id", "n_checked", "n_violations")
+    if store is not None and resume:
+        rollup_input = rollup_input.unionByName(store.completed_rule_stats())
+    vd = R.rollup_verdicts(rollup_input, rules)
     tables.write_violations(vd, os.path.join(output, "verdicts"))
 
     st = stats.column_stats(docs, ["doc_id", "spans"], by=("part_key",))
     tables.write_violations(st, os.path.join(output, "column_stats"))
 
-    # drift vs the frozen baseline snapshot; first run freezes one
+    # drift vs the frozen baseline snapshot; first run freezes one.
+    # Drift is a GLOBAL distribution check, so it always reads the full
+    # table (docs_all), never the pending subset — a resumed run over 0
+    # pending docs must not compare an empty distribution to the
+    # baseline. One extra scan of completed partitions; acceptable
+    # because the drift pass reads only kind+offset columns.
     baseline_path = os.path.join(output, "..", "drift_baseline") if baseline is None else baseline
     if not os.path.exists(baseline_path):
-        drift.write_baseline(docs, baseline_path)
+        drift.write_baseline(docs_all, baseline_path)
     b_kind, b_off = drift.load_baseline(spark, baseline_path)
-    drift_rows = drift.drift_verdicts(docs, b_kind, b_off, lo=0, hi=128)
+    drift_rows = drift.drift_verdicts(docs_all, b_kind, b_off, lo=0, hi=128)
 
     gate_pass = R.gate(vd) and all(d["pass"] for d in drift_rows)
 
     if store is not None:
-        part_stats = (
-            vd_part.groupBy("part_key")
-            .agg(F.max("n_checked").alias("n_docs"), F.sum("n_violations").alias("n_violations"))
+        # n_docs from a real per-partition doc count (vd_part mixes
+        # span-level and doc-level n_checked, so max() over it is wrong);
+        # n_violations is the sum across rules (a multi-rule row counts
+        # once per rule — documented summary semantics).
+        part_counts = docs.groupBy("part_key").agg(F.count(F.lit(1)).alias("n_docs"))
+        part_viols = vd_part.groupBy("part_key").agg(
+            F.sum("n_violations").alias("n_violations")
         )
-        store.mark_done_bulk(part_stats, snapshot_id="parquet-v0")
+        store.mark_done_bulk(part_counts.join(part_viols, "part_key"),
+                             snapshot_id="parquet-v0")
+        store.append_rule_stats(vd_part)
 
     docs.unpersist()
     wall = time.time() - t0

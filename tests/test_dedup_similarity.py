@@ -38,6 +38,28 @@ def test_ngram_jaccard_pairs(spark):
     assert all(a < b for a, b in got)
 
 
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """A stop-shingle present in every doc must not explode candidates:
+    with the df cap, docs whose ONLY shared shingle is the hot one
+    produce no pair at all, while truly similar pairs survive."""
+    hot = "aaa bbb ccc"  # one 3-shingle shared by all docs
+    rows = [(i, f"{hot} unique{i} token{i} word{i} extra{i}") for i in range(20)]
+    rows += [(100, f"{hot} same same same same"), (101, f"{hot} same same same same")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5, max_shingle_df=5).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (100, 101) in got           # near-dups share rare shingles too
+    assert all(a >= 100 for a, _ in got)  # no hot-shingle-only pairs
+    # uncapped on the original fixture stays exact (df cap is a no-op
+    # when every shingle is rare): identical output either way
+    exact = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+             for r in dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.5,
+                                                max_shingle_df=None).collect()}
+    capped = {(r["id_a"], r["id_b"], round(r["jaccard"], 9))
+              for r in dedup.ngram_jaccard_pairs(_docs(spark), threshold=0.5).collect()}
+    assert exact == capped
+
+
 def test_minhash_lsh_finds_near_dups(spark):
     pairs = dedup.minhash_lsh_pairs(_docs(spark), threshold=0.5).collect()
     got = {(r["id_a"], r["id_b"]) for r in pairs}

@@ -15,8 +15,12 @@ def test_partial_resume_completes_only_pending(spark, tmp_path):
     refs = datagen.valid_media_refs(spark)
     ckpt = str(tmp_path / "ckpt")
 
-    # simulate a run killed after validating partitions {0, 5, 9}
+    # simulate a run killed after validating partitions {0, 5, 9}:
+    # status rows + the per-rule stats those partitions really produce
     store = CheckpointStore(spark, ckpt)
+    done_docs = docs.filter(F.col("part_key").isin(0, 5, 9))
+    from intent_classifier_service_spark.plans import rules as R
+    store.append_rule_stats(R.verdicts(done_docs, R.RuleSet(), by=("part_key",)))
     for pk in (0, 5, 9):
         store.mark_done(pk, "snap-0", 1, 100, 3)
 
@@ -53,3 +57,11 @@ def test_partial_resume_completes_only_pending(spark, tmp_path):
     )
     assert fresh_subset.exceptAll(resumed_subset).count() == 0
     assert resumed_subset.exceptAll(fresh_subset).count() == 0
+
+    # the resumed run's GLOBAL verdicts already equal the from-scratch
+    # run's: completed partitions contribute their checkpointed
+    # per-rule stats to the rollup
+    fresh_vd = spark.read.parquet(os.path.join(fresh_out, "verdicts"))
+    resumed_vd = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert fresh_vd.exceptAll(resumed_vd).count() == 0
+    assert resumed_vd.exceptAll(fresh_vd).count() == 0
