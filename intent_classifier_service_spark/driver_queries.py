@@ -26,6 +26,7 @@ from .operators import sampling, similarity, stats, textstats, uniqueness
 from .plans import rules as R
 
 LANGS = ["de", "en", "es", "fr", "zh"]
+_SW = "the a an and or of to in is are was were be been it this that for on with as at by from".split()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -518,6 +519,29 @@ SELECT lang, count(*) AS n_docs,
        CAST(max(len(string_split(lower(trim(text)), ' '))) AS BIGINT) AS max_tokens,
        round(avg(CAST(length(text) AS DOUBLE)), 6) AS avg_chars
 FROM documents GROUP BY lang
+"""
+
+
+def q_text_normalize(spark, sf_dir):
+    """F3 normalization (strip + punctuation removal + ws collapse) and
+    F13 stopword removal, as table transforms. Token arrays are joined
+    to scalars for the driver's pandas canonicalizer."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        textstats.normalize_text("text").alias("normalized"),
+        F.array_join(textstats.remove_stopwords("text"), " ").alias("content_tokens"),
+    )
+
+
+SQL_TEXT_NORMALIZE = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(trim(text)), '[!-/:-@\\[-`{-~]', '', 'g'),
+                           '\\s+', ' ', 'g')) AS normalized,
+       array_to_string(
+         list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                     t -> NOT list_contains([""" + ",".join(f"'{w}'" for w in _SW) + """], t)), ' ') AS content_tokens
+FROM documents
 """
 
 
@@ -1055,7 +1079,6 @@ def q_text_profile(spark, sf_dir):
     )
 
 
-_SW = "the a an and or of to in is are was were be been it this that for on with as at by from".split()
 _SQL_TOKS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
 _SQL_NTOK = f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_SQL_TOKS}) END"
 _SQL_PUNCT = ("CASE WHEN length(text) > 0 THEN "
@@ -1136,6 +1159,7 @@ QUERIES = {
     "dedup_exact_prefix": (q_dedup_exact_prefix, SQL_DEDUP_PREFIX),
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),

@@ -37,9 +37,16 @@ from pyspark.sql.types import ArrayType, LongType
 
 # ------------------------------------------------------------------ exact
 
-def normalized_text(col="text"):
-    """Lowercase, collapse whitespace — the 'same modulo formatting' key."""
-    return F.regexp_replace(F.lower(F.trim(F.col(col))), r"\s+", " ")
+def normalized_text(col="text", strip_punct: bool = False):
+    """Lowercase, collapse whitespace — the 'same modulo formatting' key.
+    ``strip_punct=True`` additionally applies the F3 normalization rule
+    (punctuation removal, textstats.normalize_text) before keying, so
+    'Hello, world!' and 'hello world' dedup together."""
+    c = F.lower(F.trim(F.col(col)))
+    if strip_punct:
+        from .textstats import PUNCT_CLASS
+        c = F.regexp_replace(c, PUNCT_CLASS, "")
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",

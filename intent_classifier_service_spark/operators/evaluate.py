@@ -66,6 +66,13 @@ class EvaluationResult:
     cooccurrence: DataFrame
     incorrect: DataFrame
     gate_pass: bool
+    validated: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        """Release the cached validated frame once the metric
+        DataFrames have been consumed."""
+        if self.validated is not None:
+            self.validated.unpersist()
 
 
 def evaluate(test_df: DataFrame, labels_df: DataFrame,
@@ -85,9 +92,19 @@ def evaluate(test_df: DataFrame, labels_df: DataFrame,
     if test_size is not None:
         ds = sampling.stratified_sample(ds, actual_col, test_size, seed=seed)
 
-    validated = RV.validate_responses(ds, labels_df, response_col)
-    n_rows = validated.count()
-    n_valid = validated.filter(F.col("valid")).count()
+    # The upstream of `validated` can include a model-call UDF — an
+    # expensive pandas UDF that must run exactly once per row. The
+    # metric fan-out below takes ~6 separate actions over this frame,
+    # so persist it, and fold n_rows/n_valid into ONE aggregation
+    # (tests/test_evaluate.py pins single model invocation per row via
+    # an accumulator).
+    validated = RV.validate_responses(ds, labels_df, response_col).persist()
+    counts_row = validated.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("valid").cast("long")).alias("n_valid"),
+    ).collect()[0]
+    n_rows = counts_row["n_rows"]
+    n_valid = counts_row["n_valid"] or 0
 
     valid_rows = RV.labels_to_intents(validated.filter(F.col("valid")), labels_df)
     eval_df = valid_rows.select(
@@ -112,5 +129,5 @@ def evaluate(test_df: DataFrame, labels_df: DataFrame,
     return EvaluationResult(
         n_rows=n_rows, n_valid=n_valid, subset_accuracy=float(acc),
         per_class=per_class, averaged=averaged, cooccurrence=cooc,
-        incorrect=incorrect, gate_pass=bool(gate),
+        incorrect=incorrect, gate_pass=bool(gate), validated=validated,
     )

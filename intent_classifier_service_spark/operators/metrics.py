@@ -48,8 +48,12 @@ def per_class_counts(df: DataFrame, actual: str = "actual",
                      predicted: str = "predicted") -> DataFrame:
     """(class, tp, fp, fn, support, n_rows) in one pass: explode the
     union of both label sets per row, tag membership, hash-aggregate.
-    TN is derived (n_rows − tp − fp − fn), never materialized per row."""
-    n_rows = df.count()
+    TN is derived (n_rows − tp − fp − fn), never materialized per row.
+
+    n_rows rides in as a lazy broadcast crossJoin instead of a separate
+    driver-side count(): no extra action, so an expensive upstream
+    (e.g. a model-call UDF) is not executed twice."""
+    n_rows_df = df.agg(F.count(F.lit(1)).alias("n_rows"))
     tagged = df.select(
         F.explode(F.array_union(F.col(actual), F.col(predicted))).alias("class"),
         F.col(actual).alias("_a"),
@@ -67,7 +71,7 @@ def per_class_counts(df: DataFrame, actual: str = "actual",
             F.sum((F.col("in_a") & (~F.col("in_p"))).cast("long")).alias("fn"),
             F.sum(F.col("in_a").cast("long")).alias("support"),
         )
-        .withColumn("n_rows", F.lit(n_rows))
+        .crossJoin(F.broadcast(n_rows_df))
         .withColumn("tn", F.col("n_rows") - F.col("tp") - F.col("fp") - F.col("fn"))
     )
 

@@ -32,6 +32,35 @@ def tokens(col: str = "text"):
     return F.split(F.lower(F.trim(F.col(col))), r"\s+")
 
 
+# Exactly string.punctuation as a regex class: ASCII ranges !-/ :-@ [-` {-~
+PUNCT_CLASS = r"[!-/:-@\[-`{-~]"
+
+
+def normalize_text(col: str = "text", lowercase: bool = True,
+                   strip_punct: bool = True, collapse_ws: bool = True):
+    """Text-normalization rule (SURVEY F3): strip + punctuation removal
+    (reference preprocess_text, gpt_intent_classifier.py:296-314 —
+    documented semantics: trim, drop string.punctuation characters) +
+    whitespace collapse. Pure JVM regexp, stays in codegen."""
+    c = F.trim(F.col(col))
+    if lowercase:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, PUNCT_CLASS, "")
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c
+
+
+def remove_stopwords(col: str = "text", stopwords: list[str] | None = None):
+    """Stopword-removal transform (SURVEY F13; reference
+    data_exploration.ipynb cell 24 / gpt_intent_classifier.py:305-308):
+    token array minus the stopword set, order- AND duplicate-preserving
+    (array_except would dedup — wrong for token streams)."""
+    sw = F.array(*[F.lit(w) for w in (stopwords or STOPWORDS_EN[0].split())])
+    return F.filter(tokens(col), lambda t: ~F.array_contains(sw, t))
+
+
 def token_count(col: str = "text"):
     """Whitespace token count."""
     return F.when(F.length(F.trim(F.col(col))) == 0, 0).otherwise(F.size(tokens(col)))

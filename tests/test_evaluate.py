@@ -45,3 +45,36 @@ def test_evaluate_with_stratified_sample(spark):
     labels = datagen.intent_labels(spark)
     res = E.evaluate(q, labels, test_size=100)
     assert res.n_rows == 100
+
+
+def test_evaluate_runs_model_udf_once_per_row(spark):
+    """The validated frame is persisted before the ~6-action metric
+    fan-out, so an expensive model UDF upstream runs exactly once per
+    row — not once per downstream action."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import StringType
+    from intent_classifier_service_spark.operators.model_call import _fake_response
+
+    calls = spark.sparkContext.accumulator(0)
+
+    @pandas_udf(StringType())
+    def counting_model(texts: pd.Series) -> pd.Series:
+        calls.add(len(texts))
+        return texts.map(lambda t: _fake_response(t or "", 17))
+
+    q = datagen.queries_labeled(spark, 500).drop("raw_response").withColumn(
+        "raw_response", counting_model(F.col("user_prompt"))
+    )
+    labels = datagen.intent_labels(spark)
+    res = E.evaluate(q, labels)
+    # consume every metric output (each is a separate Spark action)
+    res.per_class.collect()
+    res.averaged.collect()
+    res.cooccurrence.collect()
+    res.incorrect.collect()
+    # the filter_unknown_class_rows pre-pass runs before the persist and
+    # does not touch raw_response (column pruning keeps the UDF out of
+    # that scan), so total invocations == rows surviving the filter
+    assert calls.value == res.n_rows, f"model ran {calls.value}x for {res.n_rows} rows"
+    res.unpersist()

@@ -60,3 +60,52 @@ def test_frame_sample_plan(spark):
     media = spark.createDataFrame([("d1", 25)], "doc_id string, n_frames int")
     got = multimodal.frame_sample_plan(media, every_n=10).collect()[0]
     assert got["frame_indices"] == [0, 10, 20]
+
+
+def test_normalize_text_reference_semantics(spark):
+    """F3: strip + string.punctuation removal (reference preprocess_text
+    documented semantics, gpt_intent_classifier.py:296-314) — verified
+    against a pure-Python model using string.punctuation itself."""
+    import string
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.operators import textstats as T
+
+    samples = [
+        "  Hello, World!  ",
+        "a-b c_d e.f",          # '_' is punctuation too
+        "!!!",
+        "no punct here",
+        "tabs\tand\nnewlines, plus   spaces",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "text string")
+    got = [r["n"] for r in df.select(T.normalize_text("text").alias("n")).collect()]
+
+    def model(s):
+        s = s.strip().lower()
+        s = "".join(ch for ch in s if ch not in string.punctuation)
+        return " ".join(s.split())
+
+    assert got == [model(s) for s in samples]
+
+
+def test_remove_stopwords_preserves_order_and_dups(spark):
+    from intent_classifier_service_spark.operators import textstats as T
+
+    df = spark.createDataFrame(
+        [("the cat and the hat and the cat",)], "text string"
+    )
+    got = df.select(T.remove_stopwords("text").alias("t")).collect()[0]["t"]
+    assert got == ["cat", "hat", "cat"]  # order kept, dup 'cat' kept
+
+
+def test_normalized_text_strip_punct_dedup_key(spark):
+    from intent_classifier_service_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "Hello, world!"), (2, "hello   world"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    groups = dedup.exact_duplicates(
+        df.withColumn("text", dedup.normalized_text("text", strip_punct=True))
+    ).collect()
+    assert len(groups) == 1 and sorted(groups[0]["dup_ids"]) == [1, 2]
