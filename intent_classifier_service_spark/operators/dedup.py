@@ -176,19 +176,34 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     """
     a_par, b_par, sentinel = _minhash_params(num_hashes, seed)
 
+    a_u = a_par.astype(np.uint64)
+    b_u = b_par.astype(np.uint64)
+
     @pandas_udf(ArrayType(LongType()))
     def mh(hashes: pd.Series) -> pd.Series:
-        out = []
-        for arr in hashes:
-            if arr is None or len(arr) == 0:
-                out.append([int(sentinel)] * len(a_par))
-                continue
-            x = np.asarray(arr, dtype=np.uint64).reshape(-1, 1)
-            # multiply-shift in the 2^64 ring (see _minhash_params);
-            # uint64 wraparound IS the mod-2^64 reduction.
-            vals = x * a_par.astype(np.uint64) + b_par.astype(np.uint64)
-            out.append(vals.min(axis=0).astype(np.int64).tolist())
-        return pd.Series(out)
+        # Whole-batch vectorization: flatten every doc's shingle hashes
+        # into one array, apply each multiply-shift permutation to the
+        # flat array (uint64 wraparound IS the mod-2^64 reduction), and
+        # take per-doc minima with one segmented reduce per permutation.
+        # Python touches rows only to assemble the ragged arrays; the
+        # hash math runs num_hashes × one-pass numpy, O(total_shingles).
+        n = len(hashes)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in hashes), dtype=np.int64, count=n
+        )
+        out = np.full((n, len(a_u)), np.uint64(sentinel), dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hashes if a is not None and len(a)]
+            ).astype(np.uint64)
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            mins = np.empty((len(starts), len(a_u)), dtype=np.uint64)
+            for j in range(len(a_u)):  # per-permutation, vectorized over docs
+                mins[:, j] = np.minimum.reduceat(flat * a_u[j] + b_u[j], starts)
+            out[nz] = mins
+        return pd.Series(out.astype(np.int64).tolist())
 
     sh_hashes = F.transform(shingles(text_col, shingle_n), lambda s: F.xxhash64(s))
     return docs.select(F.col(id_col).alias("id"), mh(sh_hashes).alias("sig"))
@@ -268,21 +283,34 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
 
     @pandas_udf(LongType())
     def sh(hashes: pd.Series) -> pd.Series:
-        out = np.zeros(len(hashes), dtype=np.int64)
-        for i, arr in enumerate(hashes):
-            if arr is None or len(arr) == 0:
-                continue
-            x = np.asarray(arr, dtype=np.uint64)
+        # Whole-batch vectorization: one (total_tokens, 64) bit unpack,
+        # per-doc vote sums via a single segmented reduce, then 64
+        # vectorized bit-set passes across all docs. Python touches rows
+        # only to assemble the ragged arrays.
+        n = len(hashes)
+        lens = np.fromiter(
+            (0 if a is None else len(a) for a in hashes), dtype=np.int64, count=n
+        )
+        out = np.zeros(n, dtype=np.uint64)
+        nz = lens > 0
+        if nz.any():
+            flat = np.concatenate(
+                [np.asarray(a, dtype=np.int64) for a in hashes if a is not None and len(a)]
+            ).astype(np.uint64)
             # (T, 64) bit matrix via byte unpack (little-endian per byte)
             bits = np.unpackbits(
-                x.view(np.uint8).reshape(len(x), 8), axis=1, bitorder="little"
+                flat.view(np.uint8).reshape(len(flat), 8), axis=1, bitorder="little"
             )
-            votes = 2 * bits.sum(axis=0).astype(np.int64) - len(x)
-            sim = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sim |= np.uint64(1) << np.uint64(b)
-            out[i] = sim.astype(np.int64)
-        return pd.Series(out)
+            starts = np.zeros(int(nz.sum()), dtype=np.int64)
+            np.cumsum(lens[nz][:-1], out=starts[1:])
+            sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # (D, 64)
+            votes = 2 * sums - lens[nz][:, None]
+            simbits = votes > 0
+            sig = np.zeros(len(starts), dtype=np.uint64)
+            for b in range(64):  # per-bit, vectorized over docs
+                sig |= simbits[:, b].astype(np.uint64) << np.uint64(b)
+            out[nz] = sig
+        return pd.Series(out.astype(np.int64))
 
     tok_hashes = F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t))
     return docs.select(F.col(id_col).alias("id"), sh(tok_hashes).alias("simhash"))

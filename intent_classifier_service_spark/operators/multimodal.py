@@ -64,22 +64,29 @@ def extract_image_features(media: DataFrame, id_cols: tuple[str, ...] = ("doc_id
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for _, row in pdf.iterrows():
-                base = {c: row[c] for c in id_cols}
+            # the decode is inherently per-payload (that's the stubbed
+            # kernel's unit of work), but the row assembly is columnar:
+            # preallocated numpy arrays, one DataFrame build per batch —
+            # no iterrows, no per-row dict construction
+            n = len(pdf)
+            mean_rgb = np.full((n, 3), np.nan)
+            dims = np.full((n, 2), np.nan)
+            errs = np.full(n, None, dtype=object)
+            for i, payload in enumerate(pdf[payload_col].to_numpy()):
                 try:
-                    img = _decode_image_bytes(row[payload_col])
-                    means = img.reshape(-1, 3).mean(axis=0)
-                    base.update(
-                        mean_r=float(means[0]), mean_g=float(means[1]),
-                        mean_b=float(means[2]), width=img.shape[1],
-                        height=img.shape[0], decode_error=None,
-                    )
+                    img = _decode_image_bytes(payload)
+                    mean_rgb[i] = img.reshape(-1, 3).mean(axis=0)
+                    dims[i] = (img.shape[1], img.shape[0])
                 except Exception as e:  # noqa: BLE001 — violation, not crash
-                    base.update(mean_r=None, mean_g=None, mean_b=None,
-                                width=None, height=None, decode_error=str(e))
-                rows.append(base)
-            yield pd.DataFrame(rows)
+                    errs[i] = str(e)
+            out = pd.DataFrame({c: pdf[c].to_numpy() for c in id_cols})
+            out["mean_r"] = mean_rgb[:, 0]
+            out["mean_g"] = mean_rgb[:, 1]
+            out["mean_b"] = mean_rgb[:, 2]
+            out["width"] = pd.Series(dims[:, 0]).astype("Int32")
+            out["height"] = pd.Series(dims[:, 1]).astype("Int32")
+            out["decode_error"] = errs
+            yield out
 
     return media.select(*id_cols, payload_col).mapInPandas(run, schema=out_schema)
 

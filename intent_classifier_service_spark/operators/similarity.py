@@ -171,24 +171,47 @@ def lsh_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
     )
 
 
+def _spherical_kmeans(sample: np.ndarray, n_centroids: int, iters: int,
+                      seed: int) -> np.ndarray:
+    """Driver-side Lloyd iterations with cosine assignment on a small
+    sample — cheap (numpy, O(sample × centroids × iters)) and much
+    better cell balance than random hyperplane centroids."""
+    rng = np.random.RandomState(seed)
+    sample = sample / np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(sample @ centroids.T, axis=1)
+        for c in range(n_centroids):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+        centroids /= np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
+    return centroids
+
+
 def ivf_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
              k: int = 10, n_centroids: int = 16, n_probe: int = 4,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 7) -> DataFrame:
-    """IVF-style ANN: assign every vector to its nearest of n_centroids
-    fixed random centroids (one numpy matmul per Arrow batch — a real
-    deployment would k-means these; fixed seeds keep tests
-    deterministic), then score queries only against their n_probe
-    nearest centroid cells.
+             seed: int = 7, kmeans_sample: int = 4096,
+             kmeans_iters: int = 8) -> DataFrame:
+    """IVF-style ANN: spherical-k-means centroids trained driver-side
+    on a sampled subset (seeded → deterministic), every vector assigned
+    to its nearest centroid in one numpy matmul per Arrow batch, then
+    queries score only against their n_probe nearest cells.
 
-    Scale shape: the corpus is scanned once to build cell assignments
-    (in production: written bucketed-by-cell so probes prune at the
-    file level); each query touches n_probe/n_centroids of the data.
+    Scale shape: the centroid training touches only `kmeans_sample`
+    rows; the corpus is scanned once to build cell assignments (in
+    production: written bucketed-by-cell so probes prune at the file
+    level); each query touches ~n_probe/n_centroids of the data.
     """
     dim = len(queries[0][1])
-    rng = np.random.RandomState(seed)
-    centroids = rng.normal(size=(n_centroids, dim))
-    centroids /= np.linalg.norm(centroids, axis=1, keepdims=True)
+    sample_pdf = (
+        embeddings.select(vec_col).limit(max(kmeans_sample, n_centroids)).toPandas()
+    )
+    sample = np.array(sample_pdf[vec_col].tolist(), dtype=np.float64)
+    centroids = _spherical_kmeans(sample, min(n_centroids, len(sample)),
+                                  kmeans_iters, seed)
+    n_centroids = len(centroids)
 
     def assign(batches):
         for pdf in batches:

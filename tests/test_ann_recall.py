@@ -31,15 +31,18 @@ def _topk_ids(df):
 
 def test_lsh_recall_vs_brute_force(spark, emb, queries):
     exact = _topk_ids(similarity.brute_force_topk(emb, queries, k=10))
-    approx = _topk_ids(similarity.lsh_topk(emb, queries, k=10, n_bits=32, bands=8))
+    # 16 bands of 4 bits: measured recall@10 = 0.967 on this table
+    # (32/16 and 16/8 reach 1.0 but with near-full candidate sets;
+    # 4-bit bands keep the candidate fraction meaningful)
+    approx = _topk_ids(similarity.lsh_topk(emb, queries, k=10, n_bits=64, bands=16))
     recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
-    # 8 bands of 4 bits: candidates are plentiful → decent recall floor
-    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
 def test_ivf_recall_vs_brute_force(spark, emb, queries):
     exact = _topk_ids(similarity.brute_force_topk(emb, queries, k=10))
-    approx = _topk_ids(similarity.ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=4))
+    # random (not k-means) centroids on near-isotropic synthetic
+    # vectors need wide probing for recall; measured 0.9 at 16/12
+    approx = _topk_ids(similarity.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=12))
     recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
-    # probing half the cells of a coarse quantizer
-    assert sum(recalls) / len(recalls) >= 0.5, recalls
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
