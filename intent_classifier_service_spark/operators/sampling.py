@@ -62,7 +62,11 @@ def stratified_sample(df: DataFrame, group: str, total: int, seed: int = 42,
     if remaining <= 0:
         return base
     # ref :772-778 — random top-up from unsampled rows (anti-join).
-    key = df.columns
+    # With order_col the (group, order_col) pair identifies a row, so
+    # the anti-join keys on it (an all-columns key would silently never
+    # match null-valued columns); without one, fall back to all columns
+    # (seeded-random path, null-keyed rows just stay top-up-eligible).
+    key = [group, order_col] if order_col else df.columns
     top_up = (
         df.join(base, on=key, how="left_anti").orderBy(order).limit(remaining)
     )
