@@ -1051,7 +1051,8 @@ def q_embedding_neardup_lsh(spark, sf_dir):
         (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(planted)
-    return similarity.embedding_neardup_pairs(corpus, threshold=0.9).select(
+    # dim=64: TESTDATA embeddings are 64-d (skips the one-row dim probe)
+    return similarity.embedding_neardup_pairs(corpus, threshold=0.9, dim=64).select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
     )
 

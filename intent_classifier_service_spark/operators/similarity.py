@@ -262,13 +262,16 @@ def ivf_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                             n_bits: int = 24, bands: int = 6,
                             id_col: str = "vec_id", vec_col: str = "embedding",
-                            seed: int = 42) -> DataFrame:
+                            seed: int = 42, dim: int | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate detection: hyperplane-LSH bands
     generate candidates (pairs sharing a band bucket), exact cosine
-    verifies. Never all-pairs; candidates ∝ collisions."""
+    verifies. Never all-pairs; candidates ∝ collisions.
+
+    Pass ``dim`` when known to skip the one-row dimensionality probe
+    (an extra Spark job per call)."""
     r = n_bits // bands
     mask = (1 << r) - 1
-    sigs = hyperplane_signatures(embeddings, n_bits, id_col, vec_col, seed)
+    sigs = hyperplane_signatures(embeddings, n_bits, id_col, vec_col, seed, dim=dim)
     banded = sigs.select(
         id_col,
         F.explode(
