@@ -67,3 +67,30 @@ def test_rule_pass_has_no_shuffle_before_emit(spark):
 def test_word_topk_take_ordered(spark):
     p = _plan(DQ.q_word_topk(spark, SF))
     assert "TakeOrderedAndProject" in p
+
+
+def test_pair_generators_never_cartesian(spark):
+    """Every near-dup pair generator must build candidates from
+    equi-joins on band/bucket/shingle keys — a CartesianProduct or
+    BroadcastNestedLoopJoin anywhere is the 100 TB scale killer."""
+    from intent_classifier_service_spark.operators import dedup
+
+    for q in (DQ.q_minhash_lsh_pairs, DQ.q_simhash_pairs,
+              DQ.q_embedding_neardup_lsh):
+        p = _plan(q(spark, SF))
+        assert "CartesianProduct" not in p, q.__name__
+        assert "BroadcastNestedLoop" not in p, q.__name__
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    p = _plan(dedup.ngram_jaccard_pairs(docs.select("doc_id", "text")))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    # the shingle df-cap pre-pass rides in as a semi-join
+    assert "LeftSemi" in p
+
+
+def test_text_normalize_is_shuffle_free(spark):
+    """F3/F13 normalization is a pure scan→project pass: zero
+    Exchange, zero Python."""
+    p = _plan(DQ.q_text_normalize(spark, SF))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
