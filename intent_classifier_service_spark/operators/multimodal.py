@@ -91,6 +91,92 @@ def extract_image_features(media: DataFrame, id_cols: tuple[str, ...] = ("doc_id
     return media.select(*id_cols, payload_col).mapInPandas(run, schema=out_schema)
 
 
+def resize_images(media: DataFrame, width: int, height: int,
+                  id_cols: tuple[str, ...] = ("doc_id", "media_ref"),
+                  payload_col: str = "payload") -> DataFrame:
+    """mapInPandas resize: decode (stubbed) → nearest-neighbor resample
+    → re-emit raw RGB bytes + new dims. The resample itself is a numpy
+    index operation (vectorizable per image, no Python pixel loops);
+    the binary round-trip through Arrow is the real plumbing under
+    test. Bad payloads emit null bytes + an error tag."""
+    out_schema = (
+        ", ".join(f"{c} string" for c in id_cols)
+        + ", resized binary, width int, height int, resize_error string"
+    )
+    idx_y = np.linspace(0, 3, height).round().astype(int)  # stub decodes 4x4
+    idx_x = np.linspace(0, 3, width).round().astype(int)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            payloads = np.full(n, None, dtype=object)
+            errs = np.full(n, None, dtype=object)
+            for i, payload in enumerate(pdf[payload_col].to_numpy()):
+                try:
+                    img = _decode_image_bytes(payload)
+                    resized = img[idx_y][:, idx_x]  # nearest-neighbor
+                    payloads[i] = resized.tobytes()
+                except Exception as e:  # noqa: BLE001
+                    errs[i] = str(e)
+            out = pd.DataFrame({c: pdf[c].to_numpy() for c in id_cols})
+            out["resized"] = payloads
+            out["width"] = pd.Series(np.where(pd.isna(errs), width, np.nan)).astype("Int32")
+            out["height"] = pd.Series(np.where(pd.isna(errs), height, np.nan)).astype("Int32")
+            out["resize_error"] = errs
+            yield out
+
+    return media.select(*id_cols, payload_col).mapInPandas(run, schema=out_schema)
+
+
+def _decode_audio_bytes(payload: bytes, sample_rate: int = 16000) -> np.ndarray:
+    """STUB — real deployments plug soundfile/ffmpeg here. Deterministic
+    fake: one second of float32 samples seeded from the payload digest.
+    Raises for None to mirror real decoder behavior."""
+    if payload is None:
+        raise ValueError("empty payload")
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[4:8], "big")
+    rng = np.random.RandomState(seed)
+    return rng.uniform(-1.0, 1.0, size=sample_rate).astype(np.float32)
+
+
+def extract_audio_features(media: DataFrame,
+                           id_cols: tuple[str, ...] = ("doc_id", "media_ref"),
+                           payload_col: str = "payload",
+                           sample_rate: int = 16000) -> DataFrame:
+    """mapInPandas audio features: decode (stubbed) → duration / RMS /
+    peak / zero-crossing-rate, all numpy reductions per clip. Columnar
+    row assembly, violation-row error handling — same contract as
+    extract_image_features."""
+    out_schema = (
+        ", ".join(f"{c} string" for c in id_cols)
+        + ", duration_sec double, rms double, peak double, zcr double, decode_error string"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            feats = np.full((n, 4), np.nan)
+            errs = np.full(n, None, dtype=object)
+            for i, payload in enumerate(pdf[payload_col].to_numpy()):
+                try:
+                    samples = _decode_audio_bytes(payload, sample_rate)
+                    feats[i, 0] = len(samples) / sample_rate
+                    feats[i, 1] = float(np.sqrt(np.mean(samples ** 2)))
+                    feats[i, 2] = float(np.abs(samples).max())
+                    feats[i, 3] = float(np.mean(np.signbit(samples[1:]) != np.signbit(samples[:-1])))
+                except Exception as e:  # noqa: BLE001
+                    errs[i] = str(e)
+            out = pd.DataFrame({c: pdf[c].to_numpy() for c in id_cols})
+            out["duration_sec"] = feats[:, 0]
+            out["rms"] = feats[:, 1]
+            out["peak"] = feats[:, 2]
+            out["zcr"] = feats[:, 3]
+            out["decode_error"] = errs
+            yield out
+
+    return media.select(*id_cols, payload_col).mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_plan(media: DataFrame, every_n: int = 10,
                       n_frames_col: str = "n_frames") -> DataFrame:
     """Video frame-sampling *plan*: expand (doc_id, n_frames) into the

@@ -109,3 +109,41 @@ def test_normalized_text_strip_punct_dedup_key(spark):
         df.withColumn("text", dedup.normalized_text("text", strip_punct=True))
     ).collect()
     assert len(groups) == 1 and sorted(groups[0]["dup_ids"]) == [1, 2]
+
+
+def test_resize_images_plumbing(spark):
+    from intent_classifier_service_spark.operators import multimodal
+
+    media = multimodal.attach_fake_payloads(
+        spark.createDataFrame(
+            [("d1", "media-00001"), ("d2", "media-00002"), ("d3", None)],
+            "doc_id string, media_ref string",
+        )
+    )
+    rows = {r["doc_id"]: r for r in multimodal.resize_images(media, 8, 6).collect()}
+    ok = rows["d1"]
+    assert ok["resize_error"] is None
+    assert (ok["width"], ok["height"]) == (8, 6)
+    assert len(ok["resized"]) == 8 * 6 * 3  # raw RGB bytes
+    # deterministic: same ref → same bytes across runs
+    again = {r["doc_id"]: r for r in multimodal.resize_images(media, 8, 6).collect()}
+    assert again["d1"]["resized"] == ok["resized"]
+    bad = rows["d3"]
+    assert bad["resized"] is None and bad["resize_error"] is not None
+
+
+def test_extract_audio_features_plumbing(spark):
+    from intent_classifier_service_spark.operators import multimodal
+
+    media = multimodal.attach_fake_payloads(
+        spark.createDataFrame(
+            [("d1", "media-00001"), ("d2", None)],
+            "doc_id string, media_ref string",
+        )
+    )
+    rows = {r["doc_id"]: r for r in multimodal.extract_audio_features(media).collect()}
+    ok = rows["d1"]
+    assert ok["decode_error"] is None
+    assert ok["duration_sec"] == 1.0
+    assert 0 < ok["rms"] < 1 and 0 < ok["peak"] <= 1 and 0 < ok["zcr"] < 1
+    assert rows["d2"]["decode_error"] is not None
