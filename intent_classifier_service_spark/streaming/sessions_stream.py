@@ -1,0 +1,81 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` — the Structured Streaming analog of the
+batch ``operators/sessions.py`` window pass.
+
+State per user: (session_start_epoch, last_event_epoch, n_events).
+Each micro-batch merges its (sorted) events into the open session; a
+gap > ``gap_minutes`` CLOSES the running session — the closed session
+row is emitted and a new session opens. Output mode is ``update``
+(closed sessions only; the open tail stays in state until a later
+batch closes it).
+
+At scale: state is one tiny fixed-width row per active user, sharded
+by the stream's groupBy(user) exchange; the state store (RocksDB on a
+real cluster) bounds memory, and the per-batch work is one Arrow
+round-trip per user group — the pandas function touches only that
+user's new events, never history (history is the 3-tuple state).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, duration_sec long"
+)
+SESSION_STATE_SCHEMA = "start long, last long, n long"
+
+
+def _epochs(pdfs: Iterator[pd.DataFrame], ts_col: str) -> list[int]:
+    parts = [pdf[ts_col] for pdf in pdfs]
+    if not parts:
+        return []
+    ts = pd.concat(parts).sort_values()
+    return (ts.astype("datetime64[ns]").astype("int64") // 1_000_000_000).tolist()
+
+
+def make_sessionizer(gap_minutes: int = 30, ts_col: str = "ts"):
+    """Returns the (key, batches, state) function for
+    applyInPandasWithState — split out so the pure-Python session
+    merge is unit-testable without a streaming query."""
+    gap = gap_minutes * 60
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        start, last, n = state.get if state.exists else (None, None, 0)
+        closed: list[tuple] = []
+        for e in _epochs(pdfs, ts_col):
+            if last is not None and e - last > gap:
+                closed.append((key[0], pd.Timestamp(start, unit="s"),
+                               pd.Timestamp(last, unit="s"), n, last - start))
+                start, n = None, 0
+            if start is None:
+                start = e
+            last = e
+            n += 1
+        state.update((start, last, n))
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end",
+                         "n_events", "duration_sec"],
+            )
+
+    return fn
+
+
+def sessionize_stream(events: DataFrame, user_col: str = "user_id",
+                      ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+    """events: streaming DataFrame with (user_id, ts). Emits one row
+    per CLOSED session."""
+    return events.groupBy(user_col).applyInPandasWithState(
+        make_sessionizer(gap_minutes, ts_col),
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -67,3 +67,82 @@ def test_windowed_violation_counts_plan(spark, tmp_path):
     # watermark, most windows finalize
     assert len(rows) > 0
     assert all(r["n_violations"] > 0 for r in rows)
+
+
+def test_stateful_sessionize_stream(spark, tmp_path):
+    """applyInPandasWithState sessionization: state survives across
+    micro-batches (file 2 closes the session file 1 opened), and the
+    emitted sessions match the batch sessionizer's semantics."""
+    import datetime as dt
+    import glob
+    import time
+
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.streaming.sessions_stream import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    # file 1: user 1 has a 3-event session; user 2 one event
+    spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(minutes=5)), (1, t0 + dt.timedelta(minutes=10)),
+         (2, t0)],
+        "user_id long, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    # file 2: 2 hours later — closes user 1's and user 2's sessions
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(hours=2)), (2, t0 + dt.timedelta(hours=3))],
+        "user_id long, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    assert len(glob.glob(in_dir + "/*.parquet")) == 2
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory").queryName("closed_sessions")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    for _ in range(60):
+        if not q.isActive:
+            break
+        time.sleep(1)
+    got = {
+        (r["user_id"], r["n_events"], r["duration_sec"])
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+    }
+    # user 1: 3 events over 10 min; user 2: singleton session
+    assert (1, 3, 600) in got
+    assert (2, 1, 0) in got
+
+
+def test_sessionizer_function_pure():
+    """The state-merge function itself, without a streaming query:
+    gap closes a session, state carries the open tail."""
+    import pandas as pd
+    from intent_classifier_service_spark.streaming.sessions_stream import make_sessionizer
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    fn = make_sessionizer(gap_minutes=30)
+    state = FakeState()
+    ts = pd.to_datetime(["2024-01-01 12:00", "2024-01-01 12:10"])
+    out = list(fn((7,), iter([pd.DataFrame({"ts": ts})]), state))
+    assert out == []                      # session still open
+    assert state._v[2] == 2               # 2 events in state
+    ts2 = pd.to_datetime(["2024-01-01 15:00"])
+    out = list(fn((7,), iter([pd.DataFrame({"ts": ts2})]), state))
+    assert len(out) == 1 and out[0].iloc[0]["n_events"] == 2
+    assert out[0].iloc[0]["duration_sec"] == 600
+    assert state._v[2] == 1               # new session open with 1 event
