@@ -21,6 +21,8 @@ of vectors), broadcast via closure capture.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -236,6 +238,96 @@ def ivf_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
         .select("query_id", id_col)
         .dropDuplicates(["query_id", id_col])
         .join(embeddings.select(id_col, vec_col), id_col)
+    )
+    qmap = {int(qid): (np.asarray(v, dtype=np.float64)
+                       / max(np.linalg.norm(v), 1e-12)).tolist()
+            for qid, v in queries}
+    qlit = F.map_from_arrays(
+        F.array(*[F.lit(qid) for qid in qmap]),
+        F.array(*[F.array(*[F.lit(float(x)) for x in vec]) for vec in qmap.values()]),
+    )
+    qvec = F.element_at(qlit, F.col("query_id"))
+    dot = F.aggregate(F.zip_with(F.col(vec_col), qvec, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda a: a * a),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    scored = cand.select("query_id", id_col,
+                         (dot / F.greatest(norm, F.lit(1e-12))).alias("score"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def build_ivf_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    seed: int = 7, kmeans_sample: int = 4096,
+                    kmeans_iters: int = 8) -> np.ndarray:
+    """Persist an IVF index: vectors written as parquet PARTITIONED BY
+    their cell id, centroids alongside. At query time only the probed
+    cells' directories are read — partition pruning at the file level,
+    the 100 TB ANN pattern (an in-memory cell column can't prune I/O).
+    Returns the trained centroids."""
+    sample_pdf = embeddings.select(vec_col).limit(max(kmeans_sample, n_centroids)).toPandas()
+    sample = np.array(sample_pdf[vec_col].tolist(), dtype=np.float64)
+    centroids = _spherical_kmeans(sample, min(n_centroids, len(sample)),
+                                  kmeans_iters, seed)
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax((mat / norms) @ centroids.T, axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = cells.astype(np.int32)
+            yield out
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
+    )
+    spark = embeddings.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, centroids[i].tolist()) for i in range(len(centroids))],
+        "cell int, centroid array<double>",
+    )
+    cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    return centroids
+
+
+def ivf_topk_indexed(spark, path: str, queries: list[tuple[int, list[float]]],
+                     k: int = 10, n_probe: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Query a persisted IVF index: load the tiny centroid table, pick
+    each query's n_probe nearest cells, and scan ONLY those cell
+    partitions (`cell IN (...)` prunes directories before any I/O —
+    asserted in tests/test_physical_plans). Exact cosine within."""
+    crows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    centroids = np.zeros((len(crows), len(crows[0]["centroid"])))
+    for r in crows:
+        centroids[r["cell"]] = r["centroid"]
+
+    probe_cells: set[int] = set()
+    q_rows = []
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        probes = np.argsort(-(centroids @ v))[:n_probe]
+        probe_cells.update(int(c) for c in probes)
+        q_rows.extend((int(qid), int(c)) for c in probes)
+    qdf = spark.createDataFrame(q_rows, "query_id long, cell int")
+
+    cells = spark.read.parquet(os.path.join(path, "cells")).filter(
+        F.col("cell").isin(*sorted(probe_cells))  # partition pruning
+    )
+    cand = (
+        cells.join(F.broadcast(qdf), "cell")
+        .select("query_id", id_col, vec_col)
+        .dropDuplicates(["query_id", id_col])
     )
     qmap = {int(qid): (np.asarray(v, dtype=np.float64)
                        / max(np.linalg.norm(v), 1e-12)).tolist()

@@ -44,3 +44,37 @@ def test_save_as_csv_single_file(spark, tmp_path):
     assert len(files) == 1
     content = open(files[0]).read()
     assert content.startswith("average,f1")
+
+
+def test_ivf_index_build_query_and_pruning(spark, tmp_path):
+    """Persisted IVF index: cell-partitioned parquet; the probe query
+    prunes partitions at scan time (PartitionFilters in the plan) and
+    its recall@10 vs brute force holds the same 0.8 bar as the
+    in-memory path."""
+    import re
+
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+               for r in emb.filter(F.col("vec_id") < 3).collect()]
+    path = str(tmp_path / "ivf")
+    centroids = similarity.build_ivf_index(emb, path, n_centroids=16)
+    assert centroids.shape == (16, 64)
+
+    out = similarity.ivf_topk_indexed(spark, path, queries, k=10, n_probe=12)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)", plan)
+    assert m and "cell" in m.group(1), plan[:2000]
+
+    def topk_ids(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return got
+
+    exact = topk_ids(similarity.brute_force_topk(emb, queries, k=10))
+    approx = topk_ids(out)
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
