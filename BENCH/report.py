@@ -1,5 +1,6 @@
 """Generate BENCH/BASELINE.md from collected scaling samples + a fresh
-headline bench JSON. Uses min-per-(n_docs, cpus) across samples — the
+headline bench JSON. Hand-written analysis lives in BASELINE_NOTES.md
+and is appended on every regeneration (so it survives re-runs). Uses min-per-(n_docs, cpus) across samples — the
 least-contended estimate on this multi-tenant box (see
 collect_scaling.sh)."""
 
@@ -83,6 +84,9 @@ def main():
         "magnitude above that path.",
         "",
     ]
+    extra = os.path.join(HERE, "BASELINE_NOTES.md")
+    if os.path.exists(extra):
+        lines += [open(extra).read().rstrip(), ""]
     if bench:
         lines += [
             "## Headline query bench (bench.py, sf0.1, local[32])",
