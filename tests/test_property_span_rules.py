@@ -58,3 +58,28 @@ def test_rules_match_python_reference(spark, docs):
         for d, rid, i in python_violations(doc_id, spans)
     )
     assert got == expected
+
+
+span_or_null_s = st.one_of(st.none(), span_s)
+doc_with_nulls_s = st.tuples(
+    st.text(min_size=1, max_size=6, alphabet="abc123"),
+    st.lists(span_or_null_s, min_size=0, max_size=6),
+)
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(docs=st.lists(doc_with_nulls_s, min_size=1, max_size=6))
+def test_arrow_backend_matches_jvm_on_arbitrary_spans(spark, docs):
+    """Backend parity under hypothesis: arbitrary spans INCLUDING null
+    elements — both backends must emit identical violation rows."""
+    from intent_classifier_service_spark.operators.arrow_rules import arrow_span_violations
+
+    rows = [(f"{d}-{i}", spans) for i, (d, spans) in enumerate(docs)]
+    sdf = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    jvm = sorted(tuple(r) for r in R.violations(sdf, R.RuleSet(doc_rules=[])).collect())
+    arrow = sorted(tuple(r) for r in arrow_span_violations(sdf).collect())
+    assert jvm == arrow
