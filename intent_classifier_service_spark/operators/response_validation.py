@@ -53,8 +53,31 @@ def validate_responses(df: DataFrame, labels_df: DataFrame,
 def labels_to_intents(df: DataFrame, labels_df: DataFrame,
                       labels_col: str = "pred_labels") -> DataFrame:
     """pred_labels: array<int> → pred_intents: array<string>, order
-    preserved (posexplode + broadcast join + re-collect by position) —
-    ref convert_pred_labels_to_intents (:405-432)."""
+    preserved, ZERO shuffle: the tiny class dim becomes a literal map
+    and the conversion is an in-array transform + element_at lookup —
+    ref convert_pred_labels_to_intents (:405-432). Unknown labels map
+    to null (same as the join variant's left join).
+
+    ``labels_to_intents_join`` keeps the positional explode/broadcast-
+    join/re-collect form (SURVEY J6's positional-zip operator); both
+    are pinned equal in tests. At scale the map form wins outright —
+    the join form shuffles the whole fact table on groupBy to regroup."""
+    rows = labels_df.select("label", "intent").collect()
+    lmap = F.map_from_arrays(
+        F.array(*[F.lit(int(r["label"])) for r in rows]),
+        F.array(*[F.lit(r["intent"]) for r in rows]),
+    )
+    return df.withColumn(
+        "pred_intents",
+        F.transform(F.col(labels_col), lambda lab: F.element_at(lmap, lab)),
+    )
+
+
+def labels_to_intents_join(df: DataFrame, labels_df: DataFrame,
+                           labels_col: str = "pred_labels") -> DataFrame:
+    """Positional-zip variant (SURVEY J6): posexplode + broadcast join
+    + re-collect by position. Kept for operator coverage; prefer
+    labels_to_intents (map transform, no shuffle) in pipelines."""
     exploded = df.select(
         "*", F.posexplode_outer(labels_col).alias("_pos", "_lab")
     )
@@ -68,7 +91,15 @@ def labels_to_intents(df: DataFrame, labels_df: DataFrame,
                 F.collect_list(F.struct(F.col("_pos"), F.col("intent")))
             ).alias("_pairs")
         )
-        .withColumn("pred_intents", F.transform("_pairs", lambda p: p["intent"]))
+        # posexplode_outer fabricates one null row for an EMPTY array —
+        # drop it so empty labels yield empty intents, not [null]
+        .withColumn(
+            "pred_intents",
+            F.transform(
+                F.filter("_pairs", lambda p: p["_pos"].isNotNull()),
+                lambda p: p["intent"],
+            ),
+        )
         .drop("_pairs")
     )
     return regroup

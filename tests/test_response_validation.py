@@ -54,3 +54,25 @@ def test_validity_verdict_gate(spark):
     assert v["n_checked"] == len(CASES)
     assert v["n_valid"] == n_valid
     assert v["pass"] == (n_valid / len(CASES) >= 0.95)
+
+
+def test_map_and_join_intent_conversion_agree(spark):
+    """The zero-shuffle map-transform conversion and the positional
+    explode/broadcast-join variant (SURVEY J6) must produce identical
+    pred_intents — including order preservation and unknown→null."""
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark import datagen
+    from intent_classifier_service_spark.operators import response_validation as RV
+
+    labels = datagen.intent_labels(spark)
+    df = spark.createDataFrame(
+        [("a", [2, 0, 1]), ("b", [1, 1, 16]), ("c", []), ("d", [999])],
+        "id string, pred_labels array<int>",
+    )
+    via_map = {r["id"]: r["pred_intents"]
+               for r in RV.labels_to_intents(df, labels).collect()}
+    via_join = {r["id"]: r["pred_intents"]
+                for r in RV.labels_to_intents_join(df, labels).collect()}
+    assert via_map == via_join
+    assert via_map["a"][0] != via_map["a"][1]  # order-sensitive
+    assert via_map["d"] == [None]              # unknown label → null
