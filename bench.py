@@ -48,7 +48,7 @@ def _headline_queries():
     }
 
 
-def run_bench(sf_dir: str, cpus: int | None = None) -> dict:
+def run_bench(sf_dir: str, cpus: int | None = None, query_runs: int = 2) -> dict:
     from intent_classifier_service_spark.session import get_spark
 
     spark = get_spark("bench", cpus=cpus)
@@ -57,10 +57,16 @@ def run_bench(sf_dir: str, cpus: int | None = None) -> dict:
     spark.range(1000).selectExpr("sum(id)").collect()
 
     for name, fn in _headline_queries().items():
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # drain the plan
-        timings[name] = round(time.time() - t0, 3)
+        # best-of-k: this host is multi-tenant and a single sample can
+        # be 5x off; the minimum is the least-contended estimate (same
+        # protocol as the scaling samples)
+        best = float("inf")
+        for _ in range(max(1, query_runs)):
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()  # drain the plan
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
         print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
     # north-rule headline: full validation wall-time on N synthetic docs
@@ -188,7 +194,7 @@ def main():
         print(json.dumps(res))
         return
 
-    print(json.dumps(run_bench(args.sf_dir, args.cpus)))
+    print(json.dumps(run_bench(args.sf_dir, args.cpus, query_runs=args.runs)))
 
 
 if __name__ == "__main__":
