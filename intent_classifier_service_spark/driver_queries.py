@@ -1077,7 +1077,7 @@ def q_text_profile(spark, sf_dir):
     sides."""
     prof = textstats.text_profile(_t(spark, sf_dir, "documents"))
     return prof.select(
-        "doc_id", "n_tokens", "n_chars",
+        "doc_id", "n_tokens", "n_subword", "n_chars",
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.round("quality", 6).alias("quality"),
@@ -1108,7 +1108,7 @@ _SQL_MARKER_HITS = {
 # array_max tie-break: max hits, then max lang string ('fr'>'es'>'en'>'de')
 # — reproduced with a descending-lexicographic CASE chain.
 SQL_TEXT_PROFILE = f"""
-SELECT doc_id, n_tokens, n_chars, punct_ratio, stopword_ratio, quality,
+SELECT doc_id, n_tokens, n_subword, n_chars, punct_ratio, stopword_ratio, quality,
        CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
             WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
             WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
@@ -1117,6 +1117,7 @@ SELECT doc_id, n_tokens, n_chars, punct_ratio, stopword_ratio, quality,
 FROM (
   SELECT doc_id,
          CAST({_SQL_NTOK} AS INTEGER) AS n_tokens,
+         CAST(len(regexp_extract_all(lower(text), '[a-z]{{1,6}}|[0-9]|[^\\sa-z0-9]')) AS INTEGER) AS n_subword,
          CAST(length(text) AS INTEGER) AS n_chars,
          round({_SQL_PUNCT}, 6) AS punct_ratio,
          round({_SQL_SW}, 6) AS stopword_ratio,
