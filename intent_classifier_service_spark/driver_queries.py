@@ -26,7 +26,10 @@ from .operators import sampling, similarity, stats, textstats, uniqueness
 from .plans import rules as R
 
 LANGS = ["de", "en", "es", "fr", "zh"]
-_SW = "the a an and or of to in is are was were be been it this that for on with as at by from".split()
+# single source of truth: the oracle SQL must use the SAME stopword and
+# lang-marker lists the engine uses, or edits to textstats silently
+# break the driver's hash gate
+_SW = textstats.STOPWORDS_EN[0].split()
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1098,10 +1101,7 @@ _SQL_MARKER_HITS = {
     lang: "len(list_filter({toks}, t -> list_contains({arr}, t)))".format(
         toks=_SQL_TOKS, arr="[" + ",".join(f"'{w}'" for w in words) + "]"
     )
-    for lang, words in (("en", ["the", "and", "of", "to", "a", "in", "is"]),
-                        ("de", ["der", "die", "das", "und", "ist", "nicht", "ein"]),
-                        ("fr", ["le", "la", "les", "et", "est", "une", "dans"]),
-                        ("es", ["el", "la", "los", "y", "es", "una", "en"]))
+    for lang, words in textstats._MARKERS.items()
 }
 
 # lang_id is argmax over (hits, lang) struct comparison. Spark's
@@ -1133,17 +1133,34 @@ FROM (
 """
 
 
-def q_multimodal_features(spark, sf_dir):
-    from .operators import multimodal
-
+def _probe_media(spark, sf_dir, n=200):
     docs = derived_spans(_t(spark, sf_dir, "documents"))
     refs = (
         referential.unknown_refs(docs, spark.createDataFrame([("none",)], "media_ref string"))
-        .limit(200)
+        .limit(n)
         .withColumn("doc_id", F.lit("probe"))
     )
-    media = multimodal.attach_fake_payloads(refs)
-    return multimodal.extract_image_features(media)
+    from .operators import multimodal
+
+    return multimodal.attach_fake_payloads(refs)
+
+
+def q_multimodal_features(spark, sf_dir):
+    from .operators import multimodal
+
+    return multimodal.extract_image_features(_probe_media(spark, sf_dir))
+
+
+def q_multimodal_resize(spark, sf_dir):
+    from .operators import multimodal
+
+    return multimodal.resize_images(_probe_media(spark, sf_dir), 8, 6)
+
+
+def q_multimodal_audio(spark, sf_dir):
+    from .operators import multimodal
+
+    return multimodal.extract_audio_features(_probe_media(spark, sf_dir))
 
 
 QUERIES = {
@@ -1187,10 +1204,16 @@ QUERIES = {
     #   lsh_topk / ivf_topk: approximate-by-design candidate sets from
     #     seeded numpy hyperplanes/centroids (recall pinned ≥0.8 in
     #     tests/test_ann_recall.py against the exact oracle);
-    #   multimodal_features: features come from the declared decode STUB
-    #     (sha256→RandomState), no DuckDB equivalent; plumbing is
-    #     pytest-covered.
+    #   multimodal_features / _resize / _audio: outputs come from the
+    #     declared decode STUBs (sha256→RandomState), no DuckDB
+    #     equivalent; the Spark plumbing is pytest-covered.
+    #   build_ivf_index / ivf_topk_indexed have no queries() entry: the
+    #     index build writes parquet (side effect, not a query); its
+    #     PartitionFilters pruning + recall are plan-asserted in
+    #     tests/test_similarity_extra.py.
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
     "multimodal_features": (q_multimodal_features, None),
+    "multimodal_resize": (q_multimodal_resize, None),
+    "multimodal_audio": (q_multimodal_audio, None),
 }

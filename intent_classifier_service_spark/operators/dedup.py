@@ -221,6 +221,12 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     at scale the verify happens on 8-byte×num_hashes arrays, not texts.
     """
     r = num_hashes // bands
+    # Docs with NO shingles (null text — short texts fall back to a
+    # whole-text shingle, so only null/absent text qualifies) all share
+    # the sentinel signature: two *distinct* such docs would collide in
+    # every band with est_jaccard 1.0, a false positive. Shingle-
+    # Jaccard is undefined on empty sets, so they are excluded here.
+    docs = docs.filter(F.size(shingles(text_col, shingle_n)) > 0)
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed)
     banded = sigs.select(
         "id",
@@ -320,6 +326,9 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """Candidate pairs by 16-bit prefix tables, verified by popcount of
     xor (bit_count is JVM-side)."""
+    # null-text docs all simhash to 0 → hamming 0 between *distinct*
+    # docs; exclude them (same rationale as minhash_lsh_pairs)
+    docs = docs.filter(F.size(tokens(text_col)) > 0)
     sh = simhash64(docs, id_col, text_col)
     banded = sh.select(
         "id",

@@ -142,14 +142,14 @@ def load_baseline(spark, path: str) -> tuple[DataFrame, DataFrame]:
     return kind_df, off_df
 
 
-def drift_verdicts(docs: DataFrame, baseline_kind: DataFrame,
-                   baseline_offsets: DataFrame, lo: int, hi: int,
-                   psi_threshold: float = 0.2,
-                   ks_threshold: float = 0.1) -> list[dict]:
-    """Run both drift rules; returns small verdict dicts for the gate.
-    PSI > 0.2 is the conventional 'significant shift' line. One scan of
-    the corpus (drift_profile); the PSI/KS math runs on ≤ n_bins rows."""
-    kind_freq, off_hist = drift_profile(docs, lo, hi)
+def verdicts_from_profiles(kind_freq: DataFrame, off_hist: DataFrame,
+                           baseline_kind: DataFrame, baseline_offsets: DataFrame,
+                           psi_threshold: float = 0.2,
+                           ks_threshold: float = 0.1) -> list[dict]:
+    """Drift verdicts from already-computed current profiles — the
+    single place holding the rule ids and thresholds, used both by
+    drift_verdicts (separate-pass) and the fused single-scan path in
+    jobs/validate.py (so the two paths can never gate differently)."""
     kind_psi = psi(kind_freq, baseline_kind)
     off_ks = ks_from_histograms(off_hist, baseline_offsets)
     return [
@@ -158,3 +158,15 @@ def drift_verdicts(docs: DataFrame, baseline_kind: DataFrame,
         {"rule_id": "R-DRIFT-OFFSET-KS", "statistic": off_ks,
          "threshold": ks_threshold, "pass": off_ks <= ks_threshold},
     ]
+
+
+def drift_verdicts(docs: DataFrame, baseline_kind: DataFrame,
+                   baseline_offsets: DataFrame, lo: int, hi: int,
+                   psi_threshold: float = 0.2,
+                   ks_threshold: float = 0.1) -> list[dict]:
+    """Run both drift rules; returns small verdict dicts for the gate.
+    PSI > 0.2 is the conventional 'significant shift' line. One scan of
+    the corpus (drift_profile); the PSI/KS math runs on ≤ n_bins rows."""
+    kind_freq, off_hist = drift_profile(docs, lo, hi)
+    return verdicts_from_profiles(kind_freq, off_hist, baseline_kind,
+                                  baseline_offsets, psi_threshold, ks_threshold)

@@ -51,8 +51,11 @@ def per_class_counts(df: DataFrame, actual: str = "actual",
     TN is derived (n_rows − tp − fp − fn), never materialized per row.
 
     n_rows rides in as a lazy broadcast crossJoin instead of a separate
-    driver-side count(): no extra action, so an expensive upstream
-    (e.g. a model-call UDF) is not executed twice."""
+    driver-side count() — one action instead of two. Note: the single
+    job still contains two plan branches over ``df``, so an unpersisted
+    expensive upstream (e.g. a model-call UDF) is computed twice WITHIN
+    the job; callers with such upstreams must persist first (evaluate()
+    does — its accumulator test pins once-per-row)."""
     n_rows_df = df.agg(F.count(F.lit(1)).alias("n_rows"))
     tagged = df.select(
         F.explode(F.array_union(F.col(actual), F.col(predicted))).alias("class"),

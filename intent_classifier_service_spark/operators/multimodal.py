@@ -103,8 +103,6 @@ def resize_images(media: DataFrame, width: int, height: int,
         ", ".join(f"{c} string" for c in id_cols)
         + ", resized binary, width int, height int, resize_error string"
     )
-    idx_y = np.linspace(0, 3, height).round().astype(int)  # stub decodes 4x4
-    idx_x = np.linspace(0, 3, width).round().astype(int)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -114,6 +112,12 @@ def resize_images(media: DataFrame, width: int, height: int,
             for i, payload in enumerate(pdf[payload_col].to_numpy()):
                 try:
                     img = _decode_image_bytes(payload)
+                    # indices derived from THIS image's shape — a real
+                    # decoder returns arbitrary dims (the stub happens
+                    # to emit 4x4, but hardcoding that would silently
+                    # crop/crash on real decodes)
+                    idx_y = np.linspace(0, img.shape[0] - 1, height).round().astype(int)
+                    idx_x = np.linspace(0, img.shape[1] - 1, width).round().astype(int)
                     resized = img[idx_y][:, idx_x]  # nearest-neighbor
                     payloads[i] = resized.tobytes()
                 except Exception as e:  # noqa: BLE001

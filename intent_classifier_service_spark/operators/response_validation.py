@@ -92,12 +92,19 @@ def labels_to_intents_join(df: DataFrame, labels_df: DataFrame,
             ).alias("_pairs")
         )
         # posexplode_outer fabricates one null row for an EMPTY array —
-        # drop it so empty labels yield empty intents, not [null]
+        # drop it so empty labels yield empty intents, not [null]; a
+        # NULL input array stays NULL (matching the map variant's
+        # transform-of-null semantics, pinned equal in tests)
         .withColumn(
             "pred_intents",
-            F.transform(
-                F.filter("_pairs", lambda p: p["_pos"].isNotNull()),
-                lambda p: p["intent"],
+            F.when(
+                F.col(labels_col).isNull(),
+                F.lit(None).cast("array<string>"),
+            ).otherwise(
+                F.transform(
+                    F.filter("_pairs", lambda p: p["_pos"].isNotNull()),
+                    lambda p: p["intent"],
+                )
             ),
         )
         .drop("_pairs")

@@ -173,6 +173,23 @@ def lsh_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
     )
 
 
+def _kmeans_sample(embeddings: DataFrame, id_col: str, vec_col: str,
+                   n: int) -> np.ndarray:
+    """Deterministic pseudo-random training sample: top-n by xxhash64
+    of the id. `.limit(n)` alone would take the FIRST rows, which are
+    often write-order-correlated (one class/time region) and would bias
+    every centroid into that region; ordering by a hash decorrelates.
+    Plans as TakeOrderedAndProject (per-partition top-n heaps + driver
+    merge of n), not a full sort."""
+    pdf = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(F.xxhash64(id_col))
+        .limit(n)
+        .toPandas()
+    )
+    return np.array(pdf[vec_col].tolist(), dtype=np.float64)
+
+
 def _spherical_kmeans(sample: np.ndarray, n_centroids: int, iters: int,
                       seed: int) -> np.ndarray:
     """Driver-side Lloyd iterations with cosine assignment on a small
@@ -207,10 +224,8 @@ def ivf_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
     level); each query touches ~n_probe/n_centroids of the data.
     """
     dim = len(queries[0][1])
-    sample_pdf = (
-        embeddings.select(vec_col).limit(max(kmeans_sample, n_centroids)).toPandas()
-    )
-    sample = np.array(sample_pdf[vec_col].tolist(), dtype=np.float64)
+    sample = _kmeans_sample(embeddings, id_col, vec_col,
+                            max(kmeans_sample, n_centroids))
     centroids = _spherical_kmeans(sample, min(n_centroids, len(sample)),
                                   kmeans_iters, seed)
     n_centroids = len(centroids)
@@ -270,8 +285,8 @@ def build_ivf_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
     cells' directories are read — partition pruning at the file level,
     the 100 TB ANN pattern (an in-memory cell column can't prune I/O).
     Returns the trained centroids."""
-    sample_pdf = embeddings.select(vec_col).limit(max(kmeans_sample, n_centroids)).toPandas()
-    sample = np.array(sample_pdf[vec_col].tolist(), dtype=np.float64)
+    sample = _kmeans_sample(embeddings, id_col, vec_col,
+                            max(kmeans_sample, n_centroids))
     centroids = _spherical_kmeans(sample, min(n_centroids, len(sample)),
                                   kmeans_iters, seed)
 

@@ -49,6 +49,21 @@ def make_sessionizer(gap_minutes: int = 30, ts_col: str = "ts"):
         start, last, n = state.get if state.exists else (None, None, 0)
         closed: list[tuple] = []
         for e in _epochs(pdfs, ts_col):
+            # Out-of-order arrivals: `last` must stay monotone or gap
+            # detection corrupts (a late event would rewind it and the
+            # next on-time event would spuriously close a live session).
+            if last is not None and e <= last:
+                if e + gap >= start:
+                    # late event inside (or adjacent to) the open
+                    # session: absorb it, extending backwards if needed
+                    n += 1
+                    start = min(start, e)
+                else:
+                    # too late to join: emit as its own closed
+                    # out-of-order singleton session
+                    closed.append((key[0], pd.Timestamp(e, unit="s"),
+                                   pd.Timestamp(e, unit="s"), 1, 0))
+                continue
             if last is not None and e - last > gap:
                 closed.append((key[0], pd.Timestamp(start, unit="s"),
                                pd.Timestamp(last, unit="s"), n, last - start))

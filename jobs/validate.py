@@ -103,14 +103,7 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     b_kind, b_off = drift.load_baseline(spark, baseline_path)
     if fused_profile is not None:
         cur_kind, cur_off = fused_profile  # from the fused single scan
-        kind_psi = drift.psi(cur_kind, b_kind)
-        off_ks = drift.ks_from_histograms(cur_off, b_off)
-        drift_rows = [
-            {"rule_id": "R-DRIFT-KIND-PSI", "statistic": kind_psi,
-             "threshold": 0.2, "pass": kind_psi <= 0.2},
-            {"rule_id": "R-DRIFT-OFFSET-KS", "statistic": off_ks,
-             "threshold": 0.1, "pass": off_ks <= 0.1},
-        ]
+        drift_rows = drift.verdicts_from_profiles(cur_kind, cur_off, b_kind, b_off)
     else:
         drift_rows = drift.drift_verdicts(docs_all, b_kind, b_off, lo=0, hi=128)
 

@@ -111,3 +111,19 @@ def test_cosine_pairs(spark):
     for a, b in [(1, 2), (3, 4)]:
         exp = float(mat[a] @ mat[b] / (np.linalg.norm(mat[a]) * np.linalg.norm(mat[b])))
         assert abs(got[(a, b)] - exp) < 1e-9
+
+
+def test_null_text_docs_never_pair(spark):
+    """Two distinct docs with NULL text share the sentinel minhash
+    signature / zero simhash — they must NOT emerge as near-dup pairs
+    (review finding: sentinel collision = est_jaccard 1.0 false
+    positive)."""
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "real text here with several words"),
+         (4, "real text here with several words")],
+        "doc_id long, text string",
+    )
+    mh = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert mh == {(3, 4)}
+    sh = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()}
+    assert sh == {(3, 4)}

@@ -66,7 +66,8 @@ def test_map_and_join_intent_conversion_agree(spark):
 
     labels = datagen.intent_labels(spark)
     df = spark.createDataFrame(
-        [("a", [2, 0, 1]), ("b", [1, 1, 16]), ("c", []), ("d", [999])],
+        [("a", [2, 0, 1]), ("b", [1, 1, 16]), ("c", []), ("d", [999]),
+         ("e", None)],
         "id string, pred_labels array<int>",
     )
     via_map = {r["id"]: r["pred_intents"]
@@ -76,3 +77,4 @@ def test_map_and_join_intent_conversion_agree(spark):
     assert via_map == via_join
     assert via_map["a"][0] != via_map["a"][1]  # order-sensitive
     assert via_map["d"] == [None]              # unknown label → null
+    assert via_map["e"] is None                # null array stays null

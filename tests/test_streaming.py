@@ -146,3 +146,40 @@ def test_sessionizer_function_pure():
     assert len(out) == 1 and out[0].iloc[0]["n_events"] == 2
     assert out[0].iloc[0]["duration_sec"] == 600
     assert state._v[2] == 1               # new session open with 1 event
+
+
+def test_sessionizer_handles_late_events():
+    """`last` stays monotone under out-of-order arrivals: a late event
+    inside the open session is absorbed (extending start backwards);
+    one beyond the gap becomes its own closed singleton; gap detection
+    against subsequent on-time events is unaffected."""
+    import pandas as pd
+    from intent_classifier_service_spark.streaming.sessions_stream import make_sessionizer
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    fn = make_sessionizer(gap_minutes=30)
+    state = FakeState()
+    # batch 1: on-time event at 12:00
+    list(fn((1,), iter([pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 12:00"])})]), state))
+    # batch 2: late event 11:50 (within gap of start) then on-time 12:05
+    out = list(fn((1,), iter([pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 11:50", "2024-01-01 12:05"])})]), state))
+    assert out == []                       # session still open, NOT spuriously closed
+    start, last, n = state._v
+    assert n == 3 and start == pd.Timestamp("2024-01-01 11:50").timestamp()
+    assert last == pd.Timestamp("2024-01-01 12:05").timestamp()
+    # batch 3: far-too-late event 09:00 -> emitted as closed singleton
+    out = list(fn((1,), iter([pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 09:00"])})]), state))
+    assert len(out) == 1 and out[0].iloc[0]["n_events"] == 1
+    assert state._v == (start, last, 3)    # open session untouched
