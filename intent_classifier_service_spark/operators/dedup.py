@@ -150,6 +150,25 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
 
 # ------------------------------------------------------------------ minhash
 
+def _ragged_segments(hashes: pd.Series):
+    """(flat uint64 array, segment starts, nonzero mask) for a pandas
+    Series of ragged int64 hash arrays — the shared whole-batch
+    flattening scaffold of the minhash and simhash kernels. flat/starts
+    are None when every row is empty/null."""
+    n = len(hashes)
+    lens = np.fromiter(
+        (0 if a is None else len(a) for a in hashes), dtype=np.int64, count=n
+    )
+    nz = lens > 0
+    if not nz.any():
+        return None, None, nz, lens
+    flat = np.concatenate(
+        [np.asarray(a, dtype=np.int64) for a in hashes if a is not None and len(a)]
+    ).astype(np.uint64)
+    starts = np.zeros(int(nz.sum()), dtype=np.int64)
+    np.cumsum(lens[nz][:-1], out=starts[1:])
+    return flat, starts, nz, lens
+
 def _minhash_params(num_hashes: int, seed: int = 42):
     """Multiply-shift family in the 2^64 ring: h_i(x) = (a_i*x + b_i)
     mod 2^64 with a_i odd (Dietzfelbinger et al.) — deterministic and
@@ -172,7 +191,9 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
     Shingle→int64 hashing happens JVM-side (xxhash64); only the int64
     arrays cross to Python, where one Arrow batch computes all
-    num_hashes permutations vectorized ((a*x+b) mod p, min over axis).
+    num_hashes permutations vectorized — multiply-shift in the 2^64
+    ring (see _minhash_params; values span the FULL uint64 range, they
+    are NOT bounded by a prime), segmented min per doc.
     """
     a_par, b_par, sentinel = _minhash_params(num_hashes, seed)
 
@@ -187,18 +208,9 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
         # take per-doc minima with one segmented reduce per permutation.
         # Python touches rows only to assemble the ragged arrays; the
         # hash math runs num_hashes × one-pass numpy, O(total_shingles).
-        n = len(hashes)
-        lens = np.fromiter(
-            (0 if a is None else len(a) for a in hashes), dtype=np.int64, count=n
-        )
-        out = np.full((n, len(a_u)), np.uint64(sentinel), dtype=np.uint64)
-        nz = lens > 0
-        if nz.any():
-            flat = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for a in hashes if a is not None and len(a)]
-            ).astype(np.uint64)
-            starts = np.zeros(int(nz.sum()), dtype=np.int64)
-            np.cumsum(lens[nz][:-1], out=starts[1:])
+        flat, starts, nz, _lens = _ragged_segments(hashes)
+        out = np.full((len(hashes), len(a_u)), np.uint64(sentinel), dtype=np.uint64)
+        if flat is not None:
             mins = np.empty((len(starts), len(a_u)), dtype=np.uint64)
             for j in range(len(a_u)):  # per-permutation, vectorized over docs
                 mins[:, j] = np.minimum.reduceat(flat * a_u[j] + b_u[j], starts)
@@ -293,22 +305,13 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
         # per-doc vote sums via a single segmented reduce, then 64
         # vectorized bit-set passes across all docs. Python touches rows
         # only to assemble the ragged arrays.
-        n = len(hashes)
-        lens = np.fromiter(
-            (0 if a is None else len(a) for a in hashes), dtype=np.int64, count=n
-        )
-        out = np.zeros(n, dtype=np.uint64)
-        nz = lens > 0
-        if nz.any():
-            flat = np.concatenate(
-                [np.asarray(a, dtype=np.int64) for a in hashes if a is not None and len(a)]
-            ).astype(np.uint64)
+        flat, starts, nz, lens = _ragged_segments(hashes)
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        if flat is not None:
             # (T, 64) bit matrix via byte unpack (little-endian per byte)
             bits = np.unpackbits(
                 flat.view(np.uint8).reshape(len(flat), 8), axis=1, bitorder="little"
             )
-            starts = np.zeros(int(nz.sum()), dtype=np.int64)
-            np.cumsum(lens[nz][:-1], out=starts[1:])
             sums = np.add.reduceat(bits, starts, axis=0, dtype=np.int64)  # (D, 64)
             votes = 2 * sums - lens[nz][:, None]
             simbits = votes > 0

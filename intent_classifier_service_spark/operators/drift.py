@@ -31,15 +31,22 @@ def span_kind_frequencies(docs: DataFrame) -> DataFrame:
     return counts.select("bucket", (F.col("count") / total).alias("freq"))
 
 
+def offset_bucket(lo: int, hi: int, n_bins: int = 32):
+    """THE binning rule for offset histograms — single definition used
+    by offset_histogram, drift_profile, and the fused single-scan pass
+    (plans/fused.py); a change here changes all three together."""
+    width = max((hi - lo) / n_bins, 1e-9)
+    return F.least(
+        F.lit(n_bins - 1),
+        F.greatest(F.lit(0), F.floor((F.col("offset") - lo) / width)),
+    ).cast("int")
+
+
 def offset_histogram(docs: DataFrame, lo: int, hi: int, n_bins: int = 32) -> DataFrame:
     """(bucket, freq) — fixed-edge histogram of span offsets. Edges come
     from the frozen baseline (lo/hi), so current and baseline bucketize
     identically; out-of-range values clamp to the edge bins."""
-    width = max((hi - lo) / n_bins, 1e-9)
-    bucket = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(F.lit(0), F.floor((F.col("offset") - lo) / width)),
-    ).cast("int")
+    bucket = offset_bucket(lo, hi, n_bins)
     counts = explode_spans(docs).groupBy(bucket.alias("bucket")).count()
     total = F.sum("count").over(Window.partitionBy())
     return counts.select("bucket", (F.col("count") / total).alias("freq"))
@@ -92,12 +99,9 @@ def drift_profile(docs: DataFrame, lo: int, hi: int,
     histogram — from ONE scan via GROUPING SETS ((kind), (off_bucket)):
     a single hash aggregation produces rows for each grouping, split
     afterwards on the tiny result. At 10^12 docs this halves drift I/O."""
-    width = max((hi - lo) / n_bins, 1e-9)
-    bucket = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(F.lit(0), F.floor((F.col("offset") - lo) / width)),
-    ).cast("int")
-    exploded = explode_spans(docs).select("kind", bucket.alias("off_bucket"))
+    exploded = explode_spans(docs).select(
+        "kind", offset_bucket(lo, hi, n_bins).alias("off_bucket")
+    )
     counts = (
         exploded.groupingSets([["kind"], ["off_bucket"]], "kind", "off_bucket")
         .agg(F.count(F.lit(1)).alias("count"))

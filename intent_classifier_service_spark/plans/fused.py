@@ -44,11 +44,8 @@ def fused_verdicts_and_drift(docs: DataFrame, rules: R.RuleSet | None = None,
     flagged = docs.select(*gb, "spans", *[c.alias(n) for n, c in flag_cols.items()])
     exploded = S.explode_spans(flagged, keep=(*gb, *flag_cols), outer=True)
 
-    width = max((hi - lo) / n_bins, 1e-9)
-    off_bucket = F.least(
-        F.lit(n_bins - 1),
-        F.greatest(F.lit(0), F.floor((F.col("offset") - lo) / width)),
-    ).cast("int")
+    from ..operators.drift import offset_bucket as _ob
+    off_bucket = _ob(lo, hi, n_bins)  # THE binning rule (drift.py)
 
     span_checked = F.col("span_index").isNotNull()
     is_doc_row = F.col("span_index").isNull() | (F.col("span_index") == 0)

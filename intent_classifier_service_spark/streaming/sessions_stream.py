@@ -45,33 +45,49 @@ def make_sessionizer(gap_minutes: int = 30, ts_col: str = "ts"):
     merge is unit-testable without a streaming query."""
     gap = gap_minutes * 60
 
+    def _close(key0, s, e, cnt):
+        return (key0, pd.Timestamp(s, unit="s"), pd.Timestamp(e, unit="s"),
+                cnt, e - s)
+
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
         start, last, n = state.get if state.exists else (None, None, 0)
         closed: list[tuple] = []
+        # Out-of-order arrivals: `last` must stay monotone or gap
+        # detection corrupts (a late event would rewind it and the next
+        # on-time event would spuriously close a live session). Late
+        # events within gap of the open session are absorbed (start
+        # extends backwards); genuinely-late ones are gap-chained among
+        # THEMSELVES and each chain emits as one closed session —
+        # matching what the batch sessionizer produces for those
+        # events, not N singletons.
+        late_chain: list[int] = []  # (start, last, n) of the late chain
+
+        def flush_late():
+            if late_chain:
+                closed.append(_close(key[0], late_chain[0], late_chain[1],
+                                     late_chain[2]))
+                late_chain.clear()
+
         for e in _epochs(pdfs, ts_col):
-            # Out-of-order arrivals: `last` must stay monotone or gap
-            # detection corrupts (a late event would rewind it and the
-            # next on-time event would spuriously close a live session).
             if last is not None and e <= last:
                 if e + gap >= start:
-                    # late event inside (or adjacent to) the open
-                    # session: absorb it, extending backwards if needed
                     n += 1
                     start = min(start, e)
+                elif late_chain and e - late_chain[1] <= gap:
+                    late_chain[1] = e
+                    late_chain[2] += 1
                 else:
-                    # too late to join: emit as its own closed
-                    # out-of-order singleton session
-                    closed.append((key[0], pd.Timestamp(e, unit="s"),
-                                   pd.Timestamp(e, unit="s"), 1, 0))
+                    flush_late()
+                    late_chain[:] = [e, e, 1]
                 continue
             if last is not None and e - last > gap:
-                closed.append((key[0], pd.Timestamp(start, unit="s"),
-                               pd.Timestamp(last, unit="s"), n, last - start))
+                closed.append(_close(key[0], start, last, n))
                 start, n = None, 0
             if start is None:
                 start = e
             last = e
             n += 1
+        flush_late()
         state.update((start, last, n))
         if closed:
             yield pd.DataFrame(

@@ -40,8 +40,18 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     docs_all = docs  # drift always sees the full table (see below)
     if store is not None and resume:
         all_parts = docs.select("part_key").distinct()
-        pending = store.pending_partitions(all_parts)
-        docs = docs.join(F.broadcast(pending), "part_key", "left_semi")
+        # SNAPSHOT the pending set to driver-side literals: a lazy
+        # anti-join against the checkpoint log would be re-evaluated on
+        # every downstream action — including ones AFTER this run marks
+        # its partitions done, silently collapsing the lineage to empty
+        # (bit the per-rule stats append). The set is metadata-sized.
+        pending_keys = [
+            r["part_key"] for r in store.pending_partitions(all_parts).collect()
+        ]
+        docs = (
+            docs.filter(F.col("part_key").isin(pending_keys))
+            if pending_keys else docs.limit(0)
+        )
 
     # Explicit repartition by doc_id hash (north rule) — evens out skew
     # from the hot part_key before the multi-action validation pass, and
@@ -80,12 +90,29 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         fused_profile = (fused_kind, fused_off)
     else:
         vd_part = R.verdicts(docs, rules, by=("part_key",))
-    tables.write_violations(vd_part, os.path.join(output, "verdicts_by_partition"))
-    vd_new = spark.read.parquet(os.path.join(output, "verdicts_by_partition"))
-    rollup_input = vd_new.select("part_key", "rule_id", "n_checked", "n_violations")
+
+    # verdicts_by_partition is always the COMPLETE per-partition table:
+    # on resume, completed partitions' rows are reconstructed from the
+    # checkpointed per-rule stats (rate/pass re-derived with the same
+    # formula), so resuming into the same --output dir never replaces a
+    # complete artifact with a pending-only one.
+    vd_part_full = vd_part
     if store is not None and resume:
-        rollup_input = rollup_input.unionByName(store.completed_rule_stats())
-    vd = R.rollup_verdicts(rollup_input, rules)
+        stored = store.completed_rule_stats()
+        rate = F.when(F.col("n_checked") > 0,
+                      F.col("n_violations") / F.col("n_checked")).otherwise(F.lit(0.0))
+        vd_part_full = vd_part.unionByName(
+            stored.select(
+                "part_key", "rule_id", "n_checked", "n_violations",
+                rate.alias("violation_rate"),
+                (rate <= rules.max_violation_rate).alias("pass"),
+            )
+        )
+    tables.write_violations(vd_part_full, os.path.join(output, "verdicts_by_partition"))
+    vd_new = spark.read.parquet(os.path.join(output, "verdicts_by_partition"))
+    vd = R.rollup_verdicts(
+        vd_new.select("part_key", "rule_id", "n_checked", "n_violations"), rules
+    )
     tables.write_violations(vd, os.path.join(output, "verdicts"))
 
     st = stats.column_stats(docs, ["doc_id", "spans"], by=("part_key",))
@@ -110,11 +137,20 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     gate_pass = R.gate(vd) and all(d["pass"] for d in drift_rows)
 
     if store is not None:
-        # n_docs from a real per-partition doc count (vd_part mixes
-        # span-level and doc-level n_checked, so max() over it is wrong);
+        # n_docs per partition: a doc rule's n_checked counts exactly
+        # one row per document (first-span or empty-doc row), so the
+        # count is already in THIS RUN's vd_part — no extra corpus scan
+        # (max() across all rules would wrongly pick a span count).
         # n_violations is the sum across rules (a multi-rule row counts
         # once per rule — documented summary semantics).
-        part_counts = docs.groupBy("part_key").agg(F.count(F.lit(1)).alias("n_docs"))
+        if rules.doc_rules:
+            part_counts = vd_part.filter(
+                F.col("rule_id") == rules.doc_rules[0].rule_id
+            ).select("part_key", F.col("n_checked").alias("n_docs"))
+        else:  # no doc rules in the set → fall back to a count scan
+            part_counts = docs.groupBy("part_key").agg(
+                F.count(F.lit(1)).alias("n_docs")
+            )
         part_viols = vd_part.groupBy("part_key").agg(
             F.sum("n_violations").alias("n_violations")
         )

@@ -41,8 +41,9 @@ def test_lsh_recall_vs_brute_force(spark, emb, queries):
 
 def test_ivf_recall_vs_brute_force(spark, emb, queries):
     exact = _topk_ids(similarity.brute_force_topk(emb, queries, k=10))
-    # random (not k-means) centroids on near-isotropic synthetic
-    # vectors need wide probing for recall; measured 0.9 at 16/12
+    # even with spherical-k-means centroids, near-isotropic synthetic
+    # vectors have no cluster structure — neighbors scatter across
+    # cells, so wide probing is required; measured 0.9 at 16/12
     approx = _topk_ids(similarity.ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=12))
     recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
     assert sum(recalls) / len(recalls) >= 0.8, recalls

@@ -34,9 +34,20 @@ def test_partial_resume_completes_only_pending(spark, tmp_path):
     expected_docs = docs.filter(~F.col("part_key").isin(*done_parts)).count()
     assert r["n_docs"] == expected_docs
 
+    # the artifact is the COMPLETE per-partition table (completed
+    # partitions reconstructed from checkpointed stats)...
     vd_part = spark.read.parquet(os.path.join(out, "verdicts_by_partition"))
-    validated = {row["part_key"] for row in vd_part.select("part_key").distinct().collect()}
-    assert validated == all_parts - done_parts  # nothing validated twice
+    covered = {row["part_key"] for row in vd_part.select("part_key").distinct().collect()}
+    assert covered == all_parts
+    # ...while THIS run only computed the pending partitions — nothing
+    # validated twice (run-scoped rows in the rule-stats log)
+    ran = {
+        row["part_key"]
+        for row in spark.read.parquet(ckpt + "_rules")
+        .filter(F.col("run_id") == store2.run_id)
+        .select("part_key").distinct().collect()
+    }
+    assert ran == all_parts - done_parts
 
     # after the resumed run, everything is checkpointed → next run: 0 docs
     r2 = validate.run(spark, docs, refs, str(tmp_path / "out_final"),

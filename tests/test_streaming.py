@@ -183,3 +183,32 @@ def test_sessionizer_handles_late_events():
         {"ts": pd.to_datetime(["2024-01-01 09:00"])})]), state))
     assert len(out) == 1 and out[0].iloc[0]["n_events"] == 1
     assert state._v == (start, last, 3)    # open session untouched
+
+
+def test_sessionizer_chains_late_events_together():
+    """Two+ late events within gap of each other merge into ONE closed
+    session (matching the batch sessionizer), not N singletons."""
+    import pandas as pd
+    from intent_classifier_service_spark.streaming.sessions_stream import make_sessionizer
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    fn = make_sessionizer(gap_minutes=30)
+    state = FakeState()
+    list(fn((1,), iter([pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 12:00"])})]), state))
+    out = list(fn((1,), iter([pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 08:00", "2024-01-01 08:05"])})]), state))
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["n_events"], row["duration_sec"]) == (2, 300)
+    # open 12:00 session untouched
+    assert state._v[2] == 1
