@@ -45,8 +45,27 @@ def stratified_sample(df: DataFrame, group: str, total: int, seed: int = 42,
                       order_col: str | None = None) -> DataFrame:
     """Equal allocation per class + top-up to exactly ``total`` rows.
     Mirrors reference semantics including the small-total fallback
-    (total < n_classes → dedup per class, then take ``total``)."""
-    n_classes = df.select(group).distinct().count()
+    (total < n_classes → dedup per class, then take ``total``).
+
+    ONE auxiliary driver action: a ``groupBy(group).count()`` collect
+    (one row per class — metadata-sized) yields both n_classes and the
+    base allocation Σ min(count, per_class). The earlier two extra
+    actions (distinct().count() + base.count()) were two extra full
+    scans of the fact table per call at 100 TB.
+
+    Precondition when ``order_col`` is given: (group, order_col) must
+    identify a row. The top-up anti-join keys on that pair; duplicate
+    keys would both exclude too many rows from top-up eligibility
+    (silently returning < total) AND make row_number() ordering
+    nondeterministic across runs. The seeded-random path has the same
+    tie hazard on F.rand collisions (measure-zero)."""
+    class_counts = {
+        r["_g"]: r["_n"]
+        for r in df.groupBy(F.col(group).alias("_g"))
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .collect()
+    }
+    n_classes = len(class_counts)
     if n_classes == 0 or total <= 0:
         return df.limit(0)
     order = F.col(order_col) if order_col else F.rand(seed)
@@ -57,7 +76,7 @@ def stratified_sample(df: DataFrame, group: str, total: int, seed: int = 42,
 
     per_class = total // n_classes
     base = capped_per_group(df, group, per_class, seed, order_col)
-    n_base = base.count()
+    n_base = sum(min(c, per_class) for c in class_counts.values())
     remaining = total - n_base
     if remaining <= 0:
         return base

@@ -238,7 +238,8 @@ def verdicts(docs: DataFrame, rules: RuleSet | None = None,
 def full_violations(docs: DataFrame, valid_refs: DataFrame | None = None,
                     rules: RuleSet | None = None,
                     keep: tuple[str, ...] = (),
-                    n_salts: int = 32) -> DataFrame:
+                    n_salts: int = 32,
+                    uniqueness_from: DataFrame | None = None) -> DataFrame:
     """The complete violation pass in TWO scans of the table instead of
     one per rule family:
 
@@ -252,7 +253,13 @@ def full_violations(docs: DataFrame, valid_refs: DataFrame | None = None,
         doc_id column (columnar parquet scan, no span decode).
 
     Output identical to violations() ∪ referential_violations() ∪
-    uniqueness_violations() (golden-pinned)."""
+    uniqueness_violations() (golden-pinned).
+
+    ``uniqueness_from`` overrides the frame scan 2 reads: uniqueness is
+    a GLOBAL rule (duplicate doc_ids span partitions), so a resumed run
+    must point it at the FULL table while the per-partition rules cover
+    only the pending subset — a subset scan would miss cross-partition
+    duplicates and silently under-report. Defaults to ``docs``."""
     from ..operators.uniqueness import uniqueness_violations
 
     rules = rules or RuleSet()
@@ -279,7 +286,9 @@ def full_violations(docs: DataFrame, valid_refs: DataFrame | None = None,
             _emit(rules.doc_rules, docs, F.lit(None).cast("int"), keep_cols)
             .select(*out_cols)
         )
-    uniq = uniqueness_violations(docs, n_salts=n_salts)
+    uniq = uniqueness_violations(
+        docs if uniqueness_from is None else uniqueness_from, n_salts=n_salts
+    )
     if keep:
         dtypes = dict(docs.dtypes)
         for k in keep:

@@ -57,10 +57,19 @@ def read_tsv(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:
 
 
 def write_violations(df: DataFrame, path: str, mode: str = "overwrite",
-                     partition_by: tuple[str, ...] = ()) -> None:
+                     partition_by: tuple[str, ...] = (),
+                     dynamic: bool = False) -> None:
     """Violation/verdict sink — parquet partitioned by rule_id so
-    downstream triage prunes by rule. (Iceberg: df.writeTo(t).append().)"""
+    downstream triage prunes by rule. (Iceberg: df.writeTo(t).append().)
+
+    ``dynamic=True`` switches overwrite to dynamic-partition mode: only
+    the partitions PRESENT in ``df`` are replaced, everything else on
+    disk survives. Resumed runs use this so a pending-only pass never
+    clobbers the completed partitions' artifacts (an Iceberg catalog
+    gives the same semantics via overwritePartitions())."""
     w = df.write.mode(mode)
+    if dynamic:
+        w = w.option("partitionOverwriteMode", "dynamic")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)

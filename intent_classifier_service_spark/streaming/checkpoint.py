@@ -27,6 +27,7 @@ and the rollup over the union equals a from-scratch run.
 
 from __future__ import annotations
 
+import datetime as _dt
 import os
 import uuid
 
@@ -51,6 +52,18 @@ class CheckpointStore:
         self.path = path
         self.rule_version = rule_version
         self.run_id = uuid.uuid4().hex[:12]
+        self._seq = 0  # per-store monotonic append counter (see _stamp)
+
+    def _stamp(self) -> str:
+        """Fixed-width, lexicographically ordered append stamp:
+        tz-aware UTC wall clock (strftime forces 6-digit micros —
+        isoformat would drop them at .000000 and break width) plus a
+        per-store sequence so two appends in the same microsecond never
+        tie-break on the struct's *stat* fields (latest-wins would pick
+        an arbitrary winner between a re-run's old and new stats)."""
+        self._seq += 1
+        now = _dt.datetime.now(_dt.timezone.utc)
+        return now.strftime("%Y-%m-%dT%H:%M:%S.%f+00:00") + f"#{self._seq:08d}"
 
     # -- storage primitives (swap for Iceberg writeTo in production) ----
     def _read(self) -> DataFrame:
@@ -71,9 +84,24 @@ class CheckpointStore:
         )
         return latest.filter(F.col("s.status") == "done").select("part_key")
 
-    def pending_partitions(self, all_parts: DataFrame) -> DataFrame:
-        """all_parts (part_key) anti-join completed → what to validate."""
-        return all_parts.join(self.completed_partitions(), "part_key", "left_anti")
+    def pending_partitions(self, all_parts: DataFrame,
+                           require_rule_stats: bool = False) -> DataFrame:
+        """all_parts (part_key) anti-join completed → what to validate.
+
+        ``require_rule_stats=True`` additionally treats a 'done'
+        partition with NO rows in the _rules log as pending: such a
+        partition can neither be skipped (its stats can't be
+        reconstructed into the rollup) nor trusted (it indicates a
+        crash between stat append and mark-done, or a pre-rules-log
+        checkpoint). The validate job opts in; raw status semantics
+        stay available for callers that don't carry rule stats."""
+        completed = self.completed_partitions()
+        if require_rule_stats:
+            completed = completed.join(
+                self.completed_rule_stats().select("part_key").distinct(),
+                "part_key", "left_semi",
+            )
+        return all_parts.join(completed, "part_key", "left_anti")
 
     def mark_done(self, part_key: int, snapshot_id: str, files_read: int,
                   n_docs: int, n_violations: int) -> None:
@@ -82,7 +110,7 @@ class CheckpointStore:
                 part_key, "done", snapshot_id, files_read, self.rule_version,
                 n_docs, n_violations, self.run_id,
                 # driver-side wall clock is fine for ordering within a store
-                __import__("datetime").datetime.utcnow().isoformat(),
+                self._stamp(),
             )],
             CHECKPOINT_SCHEMA,
         )
@@ -92,7 +120,7 @@ class CheckpointStore:
         """Persist per-(part_key, rule_id) n_checked/n_violations for
         the partitions validated by this run — the lineage needed to
         rebuild global verdicts without re-validating."""
-        now = __import__("datetime").datetime.utcnow().isoformat()
+        now = self._stamp()
         rows = vd_part.select(
             F.col("part_key").cast("int"),
             F.col("rule_id"),
@@ -130,7 +158,7 @@ class CheckpointStore:
         """stats: (part_key, n_docs, n_violations) — one append for all
         partitions of a run (the per-partition loop is for selective
         resume; the happy path checkpoints once)."""
-        now = __import__("datetime").datetime.utcnow().isoformat()
+        now = self._stamp()
         rows = stats.select(
             F.col("part_key").cast("int"),
             F.lit("done").alias("status"),

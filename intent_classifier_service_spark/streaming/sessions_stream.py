@@ -73,6 +73,15 @@ def make_sessionizer(gap_minutes: int = 30, ts_col: str = "ts"):
                 if e + gap >= start:
                     n += 1
                     start = min(start, e)
+                    # absorbing a late event can extend start backwards
+                    # to within gap of a pending late chain's tail — the
+                    # batch sessionizer would see one contiguous session,
+                    # so fold the chain in instead of flushing it as a
+                    # separate closed session later.
+                    if late_chain and late_chain[1] + gap >= start:
+                        start = min(start, late_chain[0])
+                        n += late_chain[2]
+                        late_chain.clear()
                 elif late_chain and e - late_chain[1] <= gap:
                     late_chain[1] = e
                     late_chain[2] += 1

@@ -45,8 +45,15 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         # every downstream action — including ones AFTER this run marks
         # its partitions done, silently collapsing the lineage to empty
         # (bit the per-rule stats append). The set is metadata-sized.
+        # require_rule_stats: a 'done' partition with no rows in the
+        # rules log can't contribute to the rollup reconstruction below
+        # (crash between stat append and mark-done, or an old-format
+        # checkpoint) — treat it as pending and re-validate it.
         pending_keys = [
-            r["part_key"] for r in store.pending_partitions(all_parts).collect()
+            r["part_key"]
+            for r in store.pending_partitions(
+                all_parts, require_rule_stats=True
+            ).collect()
         ]
         docs = (
             docs.filter(F.col("part_key").isin(pending_keys))
@@ -68,9 +75,23 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     # fused two-scan pass: span + referential violations from one
     # explode (broadcast-left-join flag), uniqueness from a doc_id-only
     # columnar scan (plans/rules.py full_violations)
-    all_v = R.full_violations(docs, valid_refs, rules, keep=("part_key",))
+    # Partitioned by (rule_id, part_key); resumed runs overwrite in
+    # DYNAMIC mode so a pending-only pass replaces only the partitions
+    # it re-validated — never the completed ones already on disk (the
+    # inputs are immutable under checkpointing, so a re-validated
+    # partition's rows are identical to what a from-scratch run writes,
+    # and the on-disk union stays the complete artifact).
+    resuming = store is not None and resume
+    # Uniqueness is global (duplicate doc_ids span partitions), so a
+    # resumed run scans the FULL table for it — same reasoning as drift
+    # below; the extra scan reads only the doc_id column.
+    all_v = R.full_violations(
+        docs, valid_refs, rules, keep=("part_key",),
+        uniqueness_from=docs_all if resuming else None,
+    )
     tables.write_violations(all_v, os.path.join(output, "violations"),
-                            partition_by=("rule_id",))
+                            partition_by=("rule_id", "part_key"),
+                            dynamic=resuming)
 
     # one scan for per-partition verdicts; global verdicts are a rollup
     # of the tiny per-partition table, not a second pass over the docs.
@@ -115,8 +136,12 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     )
     tables.write_violations(vd, os.path.join(output, "verdicts"))
 
+    # column_stats is per-partition → same dynamic-overwrite treatment
+    # on resume as violations (complete artifact survives a pending-only
+    # or zero-pending rerun into the same --output dir).
     st = stats.column_stats(docs, ["doc_id", "spans"], by=("part_key",))
-    tables.write_violations(st, os.path.join(output, "column_stats"))
+    tables.write_violations(st, os.path.join(output, "column_stats"),
+                            partition_by=("part_key",), dynamic=resuming)
 
     # drift vs the frozen baseline snapshot; first run freezes one.
     # Drift is a GLOBAL distribution check, so it always reads the full
@@ -154,9 +179,15 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         part_viols = vd_part.groupBy("part_key").agg(
             F.sum("n_violations").alias("n_violations")
         )
+        # Rule stats BEFORE mark-done: a crash between the two leaves a
+        # rule-stats row without 'done' (harmless — the partition stays
+        # pending and is re-validated). The reverse order would leave a
+        # 'done' partition whose verdicts can never be reconstructed —
+        # which pending_partitions(require_rule_stats=True) also guards
+        # against for pre-existing checkpoints.
+        store.append_rule_stats(vd_part)
         store.mark_done_bulk(part_counts.join(part_viols, "part_key"),
                              snapshot_id="parquet-v0")
-        store.append_rule_stats(vd_part)
 
     docs.unpersist()
     wall = time.time() - t0

@@ -76,3 +76,86 @@ def test_partial_resume_completes_only_pending(spark, tmp_path):
     resumed_vd = spark.read.parquet(os.path.join(out, "verdicts"))
     assert fresh_vd.exceptAll(resumed_vd).count() == 0
     assert resumed_vd.exceptAll(fresh_vd).count() == 0
+
+
+def test_resume_into_same_output_preserves_artifacts(spark, tmp_path):
+    """A resumed run into the SAME --output dir must leave the complete
+    violations and column_stats artifacts intact: dynamic partition
+    overwrite replaces only the re-validated partitions, so a
+    zero-pending rerun replaces nothing (the round-2 advice bug: static
+    overwrite clobbered the complete tables with pending-only/empty)."""
+    docs = datagen.documents_spans(spark, 1500)
+    refs = datagen.valid_media_refs(spark)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    validate.run(spark, docs, refs, out, CheckpointStore(spark, ckpt))
+    # materialize driver-side: the DataFrame's file listing would go
+    # stale once a later run rewrites partition files
+    from collections import Counter
+    v_before = Counter(
+        map(tuple, spark.read.parquet(os.path.join(out, "violations")).collect())
+    )
+    n_v = sum(v_before.values())
+    n_s = spark.read.parquet(os.path.join(out, "column_stats")).count()
+    assert n_v > 0 and n_s > 0
+
+    # zero-pending resume into the SAME dir → artifacts unchanged
+    r = validate.run(spark, docs, refs, out, CheckpointStore(spark, ckpt),
+                     resume=True)
+    assert r["n_docs"] == 0
+    assert spark.read.parquet(os.path.join(out, "violations")).count() == n_v
+    assert spark.read.parquet(os.path.join(out, "column_stats")).count() == n_s
+
+    # partial resume (one partition re-opened) rewrites ONLY that
+    # partition; the union stays the complete, from-scratch-equal table
+    pk = int(docs.select("part_key").first()["part_key"])
+    # simulate a partial checkpoint: drop pk from the log by filtering
+    # it into a fresh checkpoint path
+    ckpt2 = str(tmp_path / "ckpt2")
+    spark.read.parquet(ckpt).filter(F.col("part_key") != pk) \
+        .write.parquet(ckpt2)
+    spark.read.parquet(ckpt + "_rules").filter(F.col("part_key") != pk) \
+        .write.parquet(ckpt2 + "_rules")
+    r2 = validate.run(spark, docs, refs, out, CheckpointStore(spark, ckpt2),
+                      resume=True)
+    assert r2["n_docs"] == docs.filter(F.col("part_key") == pk).count()
+    v_after = Counter(
+        map(tuple, spark.read.parquet(os.path.join(out, "violations")).collect())
+    )
+    assert v_after == v_before
+    assert spark.read.parquet(os.path.join(out, "column_stats")).count() == n_s
+
+
+def test_done_without_rule_stats_is_revalidated(spark, tmp_path):
+    """A partition whose latest status is 'done' but with no rows in
+    the _rules log (crash between stat append and mark-done under the
+    OLD ordering, or a pre-rules-log checkpoint) must be treated as
+    pending — otherwise the rollup silently omits it while claiming
+    completeness."""
+    docs = datagen.documents_spans(spark, 1000)
+    refs = datagen.valid_media_refs(spark)
+    ckpt = str(tmp_path / "ckpt")
+
+    store = CheckpointStore(spark, ckpt)
+    store.mark_done(0, "snap-0", 1, 100, 3)  # done, but NO rule stats
+    all_parts = docs.select("part_key").distinct()
+    pending = {
+        r["part_key"]
+        for r in store.pending_partitions(
+            all_parts, require_rule_stats=True).collect()
+    }
+    assert 0 in pending  # the gap partition is surfaced as pending
+
+    # and the job actually re-validates it → global verdicts equal a
+    # from-scratch run
+    out = str(tmp_path / "out")
+    r = validate.run(spark, docs, refs, out, CheckpointStore(spark, ckpt),
+                     resume=True)
+    assert r["n_docs"] == docs.count()  # partition 0 re-validated too
+    fresh_out = str(tmp_path / "fresh")
+    validate.run(spark, docs, refs, fresh_out)
+    fresh = spark.read.parquet(os.path.join(fresh_out, "verdicts"))
+    resumed = spark.read.parquet(os.path.join(out, "verdicts"))
+    assert fresh.exceptAll(resumed).count() == 0
+    assert resumed.exceptAll(fresh).count() == 0

@@ -37,6 +37,37 @@ def test_stratified_small_total_fallback(spark):
     assert out.groupBy("cls").count().agg(F.max("count")).collect()[0][0] == 1
 
 
+def test_stratified_single_auxiliary_action(spark, monkeypatch):
+    """Plan-efficiency pin: building the stratified sample runs exactly
+    ONE auxiliary driver action (the per-class count collect) — the
+    allocation must not trigger extra distinct().count()/base.count()
+    scans of the fact table (two full corpus reads per call at 100 TB)."""
+    # patch the CONCRETE class: pyspark.sql.DataFrame is an abstract
+    # facade in Spark 4 whose methods the classic backend overrides
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pre-4.0 layout
+        from pyspark.sql import DataFrame
+
+    calls = {"n": 0}
+    real_collect, real_count = DataFrame.collect, DataFrame.count
+
+    def counting_collect(self):
+        calls["n"] += 1
+        return real_collect(self)
+
+    def counting_count(self):
+        calls["n"] += 1
+        return real_count(self)
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    out = sampling.stratified_sample(_df(spark), "cls", 20, order_col="id")
+    assert calls["n"] == 1  # allocation = one groupBy(cls).count() collect
+    monkeypatch.undo()
+    assert out.count() == 20  # …and the result is unchanged
+
+
 def test_dense_ids_first_seen_order(spark):
     df = spark.createDataFrame(
         [(3, "c"), (1, "a"), (2, "b"), (4, "a")], "pos int, intent string"

@@ -212,3 +212,38 @@ def test_sessionizer_chains_late_events_together():
     assert (row["n_events"], row["duration_sec"]) == (2, 300)
     # open 12:00 session untouched
     assert state._v[2] == 1
+
+
+def test_sessionizer_folds_chain_when_absorb_extends_start():
+    """A late event absorbed into the open session can extend `start`
+    backwards to within gap of a pending late chain — the batch
+    sessionizer sees ONE contiguous session there, so the chain must
+    fold into the open session instead of flushing separately
+    (round-2 advice: gap=30m, open 12:00, late events 11:25 then 11:50)."""
+    import pandas as pd
+    from intent_classifier_service_spark.streaming.sessions_stream import make_sessionizer
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self.exists = True
+            self._v = v
+
+    fn = make_sessionizer(gap_minutes=30)
+    state = FakeState()
+    list(fn((1,), iter([pd.DataFrame({"ts": pd.to_datetime(["2024-01-01 12:00"])})]), state))
+    # 11:25 is > gap before 12:00 → chained; 11:50 is within gap →
+    # absorbed, start drops to 11:50, and 11:25+30m >= 11:50 → the
+    # chain folds in. NOTHING closes; the open session covers all 3.
+    out = list(fn((1,), iter([pd.DataFrame(
+        {"ts": pd.to_datetime(["2024-01-01 11:25", "2024-01-01 11:50"])})]), state))
+    assert out == []
+    start, last, n = state._v
+    assert n == 3
+    assert start == pd.Timestamp("2024-01-01 11:25").timestamp()
+    assert last == pd.Timestamp("2024-01-01 12:00").timestamp()
