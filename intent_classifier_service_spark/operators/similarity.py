@@ -100,7 +100,17 @@ def lsh_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
              seed: int = 42) -> DataFrame:
     """Approximate top-k: restrict scoring to rows sharing ≥1 LSH band
     with the query, then exact cosine within candidates. Recall rises
-    with bands; cost is candidates/corpus fraction."""
+    with bands; cost is candidates/corpus fraction.
+
+    Guarantees k results per query (when the corpus holds ≥ k rows): a
+    query landing in sparse buckets can gather < k candidates, so after
+    one metadata-sized count over the (persisted, candidates ≪ corpus)
+    candidate table, shortfall queries fall back to exact brute-force
+    top-k — their LSH rows are dropped entirely, so each query's result
+    comes from exactly one scorer (mixing the JVM and numpy scores of
+    the same pair would leave rank order to ~1e-16 float noise). The
+    fallback touches only the shortfall queries; well-bucketed queries
+    never pay for it."""
     dim = len(queries[0][1])
     sigs = hyperplane_signatures(embeddings, n_bits, id_col, vec_col, seed, dim=dim)
     r = n_bits // bands
@@ -141,7 +151,15 @@ def lsh_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
         banded.join(F.broadcast(qdf), ["band", "bucket"])
         .select("query_id", id_col)
         .dropDuplicates(["query_id", id_col])
+        .persist()  # tiny (candidates only); reused by count + scoring
     )
+    cand_counts = {
+        r["query_id"]: r["n"]
+        for r in cand_ids.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    short_queries = [q for q in queries if cand_counts.get(q[0], 0) < k]
     cand_vecs = cand_ids.join(embeddings.select(id_col, vec_col), id_col)
     # Exact cosine on candidates only (JVM-side arithmetic via aggregate).
     qmap = {qid: np.asarray(v, dtype=np.float64) for qid, v in queries}
@@ -165,6 +183,12 @@ def lsh_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
     scored = cand_vecs.select(
         "query_id", id_col, (dot / F.greatest(norm, F.lit(1e-12))).alias("score")
     )
+    if short_queries:
+        short_ids = [int(q[0]) for q in short_queries]
+        scored = scored.filter(~F.col("query_id").isin(short_ids)).unionByName(
+            brute_force_topk(embeddings, short_queries, k, id_col, vec_col)
+            .select("query_id", id_col, "score")
+        )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))

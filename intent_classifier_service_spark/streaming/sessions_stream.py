@@ -39,17 +39,36 @@ def _epochs(pdfs: Iterator[pd.DataFrame], ts_col: str) -> list[int]:
     return (ts.astype("datetime64[ns]").astype("int64") // 1_000_000_000).tolist()
 
 
-def make_sessionizer(gap_minutes: int = 30, ts_col: str = "ts"):
+def make_sessionizer(gap_minutes: int = 30, ts_col: str = "ts",
+                     idle_timeout: bool = False):
     """Returns the (key, batches, state) function for
     applyInPandasWithState — split out so the pure-Python session
-    merge is unit-testable without a streaming query."""
+    merge is unit-testable without a streaming query.
+
+    ``idle_timeout=True`` arms an event-time timeout at last+gap: when
+    the watermark passes it with no new events for the user, the open
+    session is emitted as closed and the state removed — without this,
+    a departed user's session stays open forever (NoTimeout only closes
+    on a LATER event for the same user)."""
     gap = gap_minutes * 60
+
+    _COLS = ["user_id", "session_start", "session_end", "n_events",
+             "duration_sec"]
 
     def _close(key0, s, e, cnt):
         return (key0, pd.Timestamp(s, unit="s"), pd.Timestamp(e, unit="s"),
                 cnt, e - s)
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if getattr(state, "hasTimedOut", False):
+            # watermark passed last+gap with no new events → the open
+            # session is definitively closed; emit it and drop state.
+            start, last, n = state.get if state.exists else (None, None, 0)
+            state.remove()
+            if start is not None and n:
+                yield pd.DataFrame([_close(key[0], start, last, n)],
+                                   columns=_COLS)
+            return
         start, last, n = state.get if state.exists else (None, None, 0)
         closed: list[tuple] = []
         # Out-of-order arrivals: `last` must stay monotone or gap
@@ -98,24 +117,42 @@ def make_sessionizer(gap_minutes: int = 30, ts_col: str = "ts"):
             n += 1
         flush_late()
         state.update((start, last, n))
+        if idle_timeout and last is not None:
+            # arm the idle flush at last+gap; clamp above the current
+            # watermark (a purely-late batch can leave last+gap behind
+            # it, and Spark rejects a timeout at/before the watermark —
+            # the session then times out on the very next batch, which
+            # is the correct semantics: it is already closed).
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max((last + gap) * 1000, wm + 1))
         if closed:
-            yield pd.DataFrame(
-                closed,
-                columns=["user_id", "session_start", "session_end",
-                         "n_events", "duration_sec"],
-            )
+            yield pd.DataFrame(closed, columns=_COLS)
 
     return fn
 
 
 def sessionize_stream(events: DataFrame, user_col: str = "user_id",
-                      ts_col: str = "ts", gap_minutes: int = 30) -> DataFrame:
+                      ts_col: str = "ts", gap_minutes: int = 30,
+                      idle_timeout: bool = False,
+                      watermark_delay: str = "1 hour") -> DataFrame:
     """events: streaming DataFrame with (user_id, ts). Emits one row
-    per CLOSED session."""
+    per CLOSED session.
+
+    ``idle_timeout=True`` adds a watermark (``watermark_delay`` bounds
+    how late events may arrive) and an event-time timeout so sessions
+    of DEPARTED users flush once the watermark passes last+gap —
+    otherwise their state rows live forever and closed sessions are
+    withheld indefinitely. Kept opt-in: the timeout needs a watermark,
+    which changes late-event semantics (events later than the delay are
+    dropped by Spark before reaching the sessionizer)."""
+    timeout = GroupStateTimeout.NoTimeout
+    if idle_timeout:
+        events = events.withWatermark(ts_col, watermark_delay)
+        timeout = GroupStateTimeout.EventTimeTimeout
     return events.groupBy(user_col).applyInPandasWithState(
-        make_sessionizer(gap_minutes, ts_col),
+        make_sessionizer(gap_minutes, ts_col, idle_timeout=idle_timeout),
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -39,6 +39,25 @@ def test_lsh_recall_vs_brute_force(spark, emb, queries):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_lsh_topk_guarantees_k_rows(spark, emb):
+    """The top-k CONTRACT: exactly n_queries × k rows even when a
+    query's band buckets hold < k candidates (the driver contract's
+    default params returned 19/20 rows in round 2) — shortfall queries
+    fall back to exact brute-force top-k."""
+    qs = [
+        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 2).collect()
+    ]
+    # default n_bits=32/bands=4 — the sparse-bucket configuration that
+    # exhibited the shortfall
+    out = similarity.lsh_topk(emb, qs, k=10)
+    per_q = {r["query_id"]: 0 for r in out.collect()}
+    for r in out.collect():
+        per_q[r["query_id"]] += 1
+    assert sum(per_q.values()) == len(qs) * 10, per_q
+    assert all(v == 10 for v in per_q.values()), per_q
+
+
 def test_ivf_recall_vs_brute_force(spark, emb, queries):
     exact = _topk_ids(similarity.brute_force_topk(emb, queries, k=10))
     # even with spherical-k-means centroids, near-isotropic synthetic

@@ -118,6 +118,58 @@ def test_stateful_sessionize_stream(spark, tmp_path):
     assert (2, 1, 0) in got
 
 
+def test_stateful_sessionize_idle_timeout_flush(spark, tmp_path):
+    """A user with NO further events still gets their session emitted
+    once the watermark passes last+gap (EventTimeTimeout): user 1's
+    12:00-12:10 session is flushed by user 2's much-later event
+    advancing the watermark — under NoTimeout it would stay open
+    forever (round-2 gap #3)."""
+    import datetime as dt
+    import glob
+    import time
+
+    from intent_classifier_service_spark.streaming.sessions_stream import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    in_dir = str(tmp_path / "in")
+    # file 1: user 1's only events ever
+    spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(minutes=10))],
+        "user_id long, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    # file 2: a DIFFERENT user 6h later — advances the watermark past
+    # user 1's last+gap (12:40); user 1 never appears again
+    spark.createDataFrame(
+        [(2, t0 + dt.timedelta(hours=6))],
+        "user_id long, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(in_dir)
+    assert len(glob.glob(in_dir + "/*.parquet")) == 2
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, idle_timeout=True,
+                          watermark_delay="1 hour")
+        .writeStream.format("memory").queryName("idle_sessions")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    for _ in range(60):
+        if not q.isActive:
+            break
+        time.sleep(1)
+    got = {
+        (r["user_id"], r["n_events"], r["duration_sec"])
+        for r in spark.sql("SELECT * FROM idle_sessions").collect()
+    }
+    # user 1 flushed by timeout despite no later user-1 event
+    assert (1, 2, 600) in got
+    # user 2's session stays open (watermark never passes 18:00+gap)
+    assert not any(u == 2 for u, _, _ in got)
+
+
 def test_sessionizer_function_pure():
     """The state-merge function itself, without a streaming query:
     gap closes a session, state carries the open tail."""
