@@ -1134,33 +1134,252 @@ FROM (
 
 
 def _probe_media(spark, sf_dir, n=200):
+    """Deterministic probe corpus for the multimodal operators: the
+    first ``n`` distinct derived media_refs in ref order (orderBy+limit
+    plans TakeOrderedAndProject — a bare limit would be nondeterministic
+    and un-oracle-able), payloads NULLed for odd-numbered refs so the
+    decode-error path is exercised and oracled."""
     docs = derived_spans(_t(spark, sf_dir, "documents"))
     refs = (
         referential.unknown_refs(docs, spark.createDataFrame([("none",)], "media_ref string"))
+        .orderBy("media_ref")
         .limit(n)
         .withColumn("doc_id", F.lit("probe"))
     )
     from .operators import multimodal
 
-    return multimodal.attach_fake_payloads(refs)
+    media = multimodal.attach_fake_payloads(refs)
+    odd = F.substring("media_ref", 7, 5).cast("int") % 2 == 1
+    return media.withColumn("payload", F.when(~odd, F.col("payload")))
+
+
+# Probe refs in DuckDB: same distinct-ordered-limit + parity rule.
+_PROBE_CTE = SPANS_CTE + """
+, probe AS (
+  SELECT 'probe' AS doc_id, media_ref,
+         CAST(substr(media_ref, 7) AS INTEGER) % 2 = 1 AS null_payload
+  FROM (
+    SELECT DISTINCT media_ref FROM spans_prev
+    WHERE media_ref IS NOT NULL AND media_ref <> 'none'
+    ORDER BY media_ref LIMIT 200
+  )
+)
+"""
 
 
 def q_multimodal_features(spark, sf_dir):
+    """PORTABLE projection of the image-feature operator: ids, the
+    decode_error flag (pure SQL of payload nullness), and the decoder
+    stamp. The full operator (mapInPandas decode + feature kernel) runs
+    end-to-end; only the stub feature VALUES (sha-seeded mean RGB/dims,
+    no DuckDB equivalent) are left to pytest
+    (tests/test_textstats_multimodal.py)."""
     from .operators import multimodal
 
-    return multimodal.extract_image_features(_probe_media(spark, sf_dir))
+    return multimodal.extract_image_features(_probe_media(spark, sf_dir)).select(
+        "doc_id", "media_ref", "decode_error", "decoder"
+    )
+
+
+SQL_MULTIMODAL_FEATURES = _PROBE_CTE + """
+SELECT doc_id, media_ref,
+       CASE WHEN null_payload THEN 'empty payload' END AS decode_error,
+       'stub' AS decoder
+FROM probe
+"""
 
 
 def q_multimodal_resize(spark, sf_dir):
+    """PORTABLE projection of the resize operator: ids, post-resize
+    dims (the 8x6 TARGET constants on success, -1 sentinel on decode
+    error — avoids nullable-int dtype skew between engines), error flag,
+    decoder stamp. Resized bytes stay pytest-only."""
     from .operators import multimodal
 
-    return multimodal.resize_images(_probe_media(spark, sf_dir), 8, 6)
+    out = multimodal.resize_images(_probe_media(spark, sf_dir), 8, 6)
+    return out.select(
+        "doc_id", "media_ref",
+        F.coalesce("width", F.lit(-1)).alias("width"),
+        F.coalesce("height", F.lit(-1)).alias("height"),
+        "resize_error", "decoder",
+    )
+
+
+SQL_MULTIMODAL_RESIZE = _PROBE_CTE + """
+SELECT doc_id, media_ref,
+       CAST(CASE WHEN null_payload THEN -1 ELSE 8 END AS INTEGER) AS width,
+       CAST(CASE WHEN null_payload THEN -1 ELSE 6 END AS INTEGER) AS height,
+       CASE WHEN null_payload THEN 'empty payload' END AS resize_error,
+       'stub' AS decoder
+FROM probe
+"""
 
 
 def q_multimodal_audio(spark, sf_dir):
+    """PORTABLE projection of the audio-feature operator (same pattern
+    as q_multimodal_features; RMS/peak/zcr values stay pytest-only)."""
     from .operators import multimodal
 
-    return multimodal.extract_audio_features(_probe_media(spark, sf_dir))
+    return multimodal.extract_audio_features(_probe_media(spark, sf_dir)).select(
+        "doc_id", "media_ref", "decode_error", "decoder"
+    )
+
+
+SQL_MULTIMODAL_AUDIO = _PROBE_CTE + """
+SELECT doc_id, media_ref,
+       CASE WHEN null_payload THEN 'empty payload' END AS decode_error,
+       'stub' AS decoder
+FROM probe
+"""
+
+
+def q_ivf_topk_indexed(spark, sf_dir):
+    """Persisted-IVF ANN through the driver contract: build the
+    cell-partitioned index into a temp dir (side effect; deterministic
+    given the seed), then query it with planted-duplicate queries —
+    each query vector is an exact copy of corpus vec_id v (query_id =
+    v+100000, also planted into the corpus), so its top-1 must be v
+    itself: cosine exactly 1.0 (identical stored vector bytes), the
+    query's own cell is by construction its first probe, and the
+    (desc score, asc vec_id) tie-break puts v before the planted copy.
+    Projected to rank-1 rows only — ranks 2..k are approximate-by-
+    design (recall pinned in tests/test_similarity_extra.py); the
+    top-1-finds-the-duplicate property is exact and oracled."""
+    import tempfile
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    qs = [
+        (int(r["vec_id"]) + 100000, [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    path = tempfile.mkdtemp(prefix="ivf_idx_")
+    similarity.build_ivf_index(corpus, path, n_centroids=16)
+    out = similarity.ivf_topk_indexed(spark, path, qs, k=10, n_probe=4)
+    return out.filter(F.col("rank") == 1).select("query_id", "vec_id", "rank")
+
+
+SQL_IVF_TOPK_INDEXED = """
+SELECT vec_id + 100000 AS query_id, vec_id, CAST(1 AS INTEGER) AS rank
+FROM embeddings WHERE vec_id < 8
+"""
+
+
+def q_drift_psi_lang(spark, sf_dir):
+    """PSI between even/odd doc_id halves of the language-ID
+    distribution — the text-profile drift rule the validate job gates
+    on (jobs/validate.py), exercised on real document text."""
+    docs = _t(spark, sf_dir, "documents")
+    prof = docs.select("doc_id", textstats.lang_id("text").alias("bucket"))
+    from pyspark.sql.window import Window
+
+    def norm(df):
+        tot = F.sum("count").over(Window.partitionBy())
+        return df.select("bucket", (F.col("count") / tot).alias("freq"))
+
+    cur = norm(prof.filter(F.col("doc_id") % 2 == 0).groupBy("bucket").count())
+    base = norm(prof.filter(F.col("doc_id") % 2 == 1).groupBy("bucket").count())
+    joined = (
+        cur.withColumnRenamed("freq", "p")
+        .join(base.withColumnRenamed("freq", "q"), "bucket", "full_outer")
+        .select(F.coalesce("p", F.lit(0.0)).alias("p"),
+                F.coalesce("q", F.lit(0.0)).alias("q"))
+    )
+    eps = 1e-6
+    return joined.agg(
+        F.round(
+            F.sum((F.col("p") - F.col("q")) * F.log((F.col("p") + eps) / (F.col("q") + eps))),
+            6,
+        ).alias("psi")
+    )
+
+
+# argmax tie-break chain matches Spark's struct array_max (max hits,
+# then max lang string: fr > es > en > de) — same as SQL_TEXT_PROFILE.
+_SQL_LANG_PROF = f"""
+  SELECT doc_id,
+         CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+              WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+              WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+              WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+              ELSE 'de' END AS bucket
+  FROM (
+    SELECT doc_id,
+           {_SQL_MARKER_HITS['en']} AS h_en,
+           {_SQL_MARKER_HITS['de']} AS h_de,
+           {_SQL_MARKER_HITS['fr']} AS h_fr,
+           {_SQL_MARKER_HITS['es']} AS h_es
+    FROM documents
+  )
+"""
+
+SQL_DRIFT_PSI_LANG = f"""
+WITH prof AS ({_SQL_LANG_PROF}
+), cur AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS p
+  FROM prof WHERE doc_id % 2 = 0 GROUP BY bucket
+), base AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS q
+  FROM prof WHERE doc_id % 2 = 1 GROUP BY bucket
+)
+SELECT round(sum((coalesce(p,0) - coalesce(q,0)) * ln((coalesce(p,0) + 1e-6) / (coalesce(q,0) + 1e-6))), 6) AS psi
+FROM cur FULL OUTER JOIN base USING (bucket)
+"""
+
+
+def q_drift_ks_quality(spark, sf_dir):
+    """Two-sample KS between even/odd doc_id halves of the quality-
+    score histogram (drift.quality_bucket — round-6 before bucketing so
+    both engines bucket identical values)."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.drift import ks_from_histograms, quality_bucket
+    from pyspark.sql.window import Window
+
+    prof = docs.select("doc_id", quality_bucket("text", 32).alias("bucket"))
+
+    def hist(df):
+        counts = df.groupBy("bucket").count()
+        tot = F.sum("count").over(Window.partitionBy())
+        return counts.select("bucket", (F.col("count") / tot).alias("freq"))
+
+    cur = hist(prof.filter(F.col("doc_id") % 2 == 0))
+    base = hist(prof.filter(F.col("doc_id") % 2 == 1))
+    ks = ks_from_histograms(cur, base)
+    return spark.createDataFrame([(round(ks, 6),)], "ks double")
+
+
+_SQL_QUALITY_R6 = (
+    f"round(0.4 * least({_SQL_NTOK} / 20.0, 1.0)"
+    f" + 0.3 * greatest(0.0, 1.0 - 2.0 * ({_SQL_PUNCT}))"
+    f" + 0.3 * least(({_SQL_SW}) * 4.0, 1.0), 6)"
+)
+
+SQL_DRIFT_KS_QUALITY = f"""
+WITH prof AS (
+  SELECT doc_id,
+         least(31, greatest(0, CAST(floor({_SQL_QUALITY_R6} * 32) AS INTEGER))) AS bucket
+  FROM documents
+), cur AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS p
+  FROM prof WHERE doc_id % 2 = 0 GROUP BY bucket
+), base AS (
+  SELECT bucket, CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS q
+  FROM prof WHERE doc_id % 2 = 1 GROUP BY bucket
+), joined AS (
+  SELECT bucket, coalesce(p, 0) AS p, coalesce(q, 0) AS q
+  FROM cur FULL OUTER JOIN base USING (bucket)
+)
+SELECT round(max(abs(d)), 6) AS ks FROM (
+  SELECT sum(p) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING)
+       - sum(q) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS d
+  FROM joined
+)
+"""
 
 
 QUERIES = {
@@ -1200,20 +1419,24 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "text_profile": (q_text_profile, SQL_TEXT_PROFILE),
+    # multimodal queries: the OPERATORS run end-to-end (mapInPandas
+    # decode + kernels); the registered result is the deterministic
+    # portable projection (ids, error flags, resize target dims,
+    # decoder stamp) — stub feature VALUES stay pytest-covered.
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
+    # persisted-IVF ANN, oracled via the exact planted-duplicate top-1
+    # invariant (see q_ivf_topk_indexed docstring)
+    "ivf_topk_indexed": (q_ivf_topk_indexed, SQL_IVF_TOPK_INDEXED),
+    # text-profile drift rules (the validate job gates on these)
+    "drift_psi_lang": (q_drift_psi_lang, SQL_DRIFT_PSI_LANG),
+    "drift_ks_quality": (q_drift_ks_quality, SQL_DRIFT_KS_QUALITY),
     # rows-only — genuinely non-SQL-expressible:
     #   lsh_topk / ivf_topk: approximate-by-design candidate sets from
     #     seeded numpy hyperplanes/centroids (recall pinned ≥0.8 in
-    #     tests/test_ann_recall.py against the exact oracle);
-    #   multimodal_features / _resize / _audio: outputs come from the
-    #     declared decode STUBs (sha256→RandomState), no DuckDB
-    #     equivalent; the Spark plumbing is pytest-covered.
-    #   build_ivf_index / ivf_topk_indexed have no queries() entry: the
-    #     index build writes parquet (side effect, not a query); its
-    #     PartitionFilters pruning + recall are plan-asserted in
-    #     tests/test_similarity_extra.py.
+    #     tests/test_ann_recall.py against the exact oracle; row count
+    #     pinned to n_queries×k by the guaranteed-k fallback).
     "lsh_topk": (q_lsh_topk, None),
     "ivf_topk": (q_ivf_topk, None),
-    "multimodal_features": (q_multimodal_features, None),
-    "multimodal_resize": (q_multimodal_resize, None),
-    "multimodal_audio": (q_multimodal_audio, None),
 }

@@ -93,6 +93,69 @@ def ks_from_histograms(current: DataFrame, baseline: DataFrame) -> float:
     return float(row["ks"] or 0.0)
 
 
+def doc_text(spans_col: str = "spans"):
+    """The document's text content: its text spans joined by a space —
+    THE definition shared by the fused scan, text_distributions, and
+    the text-drift baseline (a change here changes all of them)."""
+    return F.array_join(
+        F.transform(
+            F.filter(F.col(spans_col), lambda s: s["kind"] == "text"),
+            lambda s: s["text"],
+        ),
+        " ",
+    )
+
+
+def quality_bucket(col: str = "_doc_text", n_bins: int = 32):
+    """Histogram bucket for the [0,1] quality score. round(6) first so
+    both engines of an oracle check bucket identical values (the score
+    sums three FP terms)."""
+    from .textstats import quality_score
+    q = F.round(quality_score(col), 6)
+    return F.least(F.lit(n_bins - 1),
+                   F.greatest(F.lit(0), F.floor(q * n_bins))).cast("int")
+
+
+def text_distributions(docs: DataFrame,
+                       n_bins: int = 32) -> tuple[DataFrame, DataFrame]:
+    """(lang_freq, quality_hist) — language-ID frequencies and the
+    quality-score histogram of the corpus text, one doc-level scan (no
+    explode) via GROUPING SETS ((lang), (q_bucket)). Feeds the same
+    PSI/KS math as the span distributions: this is where the pipeline's
+    text-profile operators close the loop into the validation gate
+    (a model-data corpus whose language mix or quality profile drifts
+    should fail validation like a schema break does)."""
+    from .textstats import lang_id
+    base = docs.select(doc_text().alias("_doc_text")).select(
+        lang_id("_doc_text").alias("lang"),
+        quality_bucket("_doc_text", n_bins).alias("q_bucket"),
+    )
+    counts = (
+        base.groupingSets([["lang"], ["q_bucket"]], "lang", "q_bucket")
+        .agg(F.count(F.lit(1)).alias("count"),
+             F.grouping_id("lang", "q_bucket").alias("_gid"))
+        .collect()
+    )
+    # gid bit set ⇒ column aggregated: 0b01 → lang set, 0b10 → q set.
+    # Null buckets (docs with null spans → null text → null quality)
+    # are excluded from the histogram — those docs are the doc rules'
+    # business (R-DOC-SPANS-NONEMPTY), not a quality-distribution shift.
+    lang_rows = [(r["lang"], r["count"]) for r in counts
+                 if r["_gid"] == 0b01 and r["lang"] is not None]
+    q_rows = [(r["q_bucket"], r["count"]) for r in counts
+              if r["_gid"] == 0b10 and r["q_bucket"] is not None]
+    spark = docs.sparkSession
+    l_tot = sum(c for _, c in lang_rows) or 1
+    q_tot = sum(c for _, c in q_rows) or 1
+    lang_df = spark.createDataFrame(
+        [(k, c / l_tot) for k, c in lang_rows], "bucket string, freq double"
+    )
+    q_df = spark.createDataFrame(
+        [(int(b), c / q_tot) for b, c in q_rows], "bucket int, freq double"
+    )
+    return lang_df, q_df
+
+
 def drift_profile(docs: DataFrame, lo: int, hi: int,
                   n_bins: int = 32) -> tuple[DataFrame, DataFrame]:
     """Both drift distributions — span-kind frequencies AND the offset
@@ -122,14 +185,19 @@ def drift_profile(docs: DataFrame, lo: int, hi: int,
 
 
 def write_baseline(docs: DataFrame, path: str, lo: int = 0, hi: int = 128,
-                   n_bins: int = 32) -> None:
+                   n_bins: int = 32, text: bool = True) -> None:
     """Freeze the current distributions as the drift baseline (one
-    parquet with bucket_kind ∈ {span_kind, offset_hist} — FIXTURES.md
-    §5 shape). In production this runs once on a blessed snapshot."""
+    parquet with bucket_kind ∈ {span_kind, offset_hist, lang_freq,
+    quality_hist} — FIXTURES.md §5 shape plus the text-profile rows).
+    In production this runs once on a blessed snapshot."""
     kind_df, off_df = drift_profile(docs, lo, hi, n_bins)
     spark = docs.sparkSession
     rows = [("span_kind", str(r["bucket"]), float(r["freq"])) for r in kind_df.collect()]
     rows += [("offset_hist", str(r["bucket"]), float(r["freq"])) for r in off_df.collect()]
+    if text:
+        lang_df, q_df = text_distributions(docs, n_bins)
+        rows += [("lang_freq", str(r["bucket"]), float(r["freq"])) for r in lang_df.collect()]
+        rows += [("quality_hist", str(r["bucket"]), float(r["freq"])) for r in q_df.collect()]
     spark.createDataFrame(rows, "bucket_kind string, bucket string, freq double") \
         .coalesce(1).write.mode("overwrite").parquet(path)
 
@@ -144,6 +212,38 @@ def load_baseline(spark, path: str) -> tuple[DataFrame, DataFrame]:
         F.col("bucket").cast("int").alias("bucket"), F.col("freq")
     )
     return kind_df, off_df
+
+
+def load_text_baseline(spark, path: str) -> tuple[DataFrame, DataFrame] | None:
+    """(lang_freq, quality_hist) from the baseline parquet, or None for
+    baselines frozen before text drift existed (callers then skip the
+    text rules rather than comparing against an empty distribution)."""
+    b = spark.read.parquet(path)
+    lang_df = b.filter(F.col("bucket_kind") == "lang_freq").select("bucket", "freq")
+    if not lang_df.head(1):
+        return None
+    q_df = b.filter(F.col("bucket_kind") == "quality_hist").select(
+        F.col("bucket").cast("int").alias("bucket"), F.col("freq")
+    )
+    return lang_df, q_df
+
+
+def text_verdicts_from_profiles(lang_freq: DataFrame, quality_hist: DataFrame,
+                                baseline_lang: DataFrame,
+                                baseline_quality: DataFrame,
+                                psi_threshold: float = 0.2,
+                                ks_threshold: float = 0.1) -> list[dict]:
+    """Text-profile drift verdicts — PSI over language-ID frequencies,
+    KS over the quality histogram — same thresholds/shape as the span
+    rules so the job gate treats them uniformly."""
+    lang_psi = psi(lang_freq, baseline_lang)
+    q_ks = ks_from_histograms(quality_hist, baseline_quality)
+    return [
+        {"rule_id": "R-DRIFT-LANG-PSI", "statistic": lang_psi,
+         "threshold": psi_threshold, "pass": lang_psi <= psi_threshold},
+        {"rule_id": "R-DRIFT-QUALITY-KS", "statistic": q_ks,
+         "threshold": ks_threshold, "pass": q_ks <= ks_threshold},
+    ]
 
 
 def verdicts_from_profiles(kind_freq: DataFrame, off_hist: DataFrame,

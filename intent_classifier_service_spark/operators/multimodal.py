@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary +
 typed metadata.
 
-The decode/feature-extract kernels are STUBBED (the sandbox has no
-image/audio libraries) behind ``_decode_image_bytes`` — a deterministic
-fake keyed on the payload hash, clearly marked. Everything Spark-side
-is real and tested: schema, Arrow batch shapes, mapInPandas signatures,
-partition-size control for wide binary rows.
+The decode kernels route through an optional-import seam: with
+PIL/soundfile installed they decode for real; in this sandbox (no
+image/audio libraries) they fall back to clearly-marked deterministic
+stubs keyed on the payload hash. Every output row carries a ``decoder``
+column ('pil'/'soundfile' vs 'stub') so downstream can never mistake
+stub features for real ones. Everything Spark-side is real and tested:
+schema, Arrow batch shapes, mapInPandas signatures, partition-size
+control for wide binary rows.
 
 Scale notes: binary payloads dominate row size, so operators here
 repartition by a size-aware key before any wide shuffle, keep metadata
@@ -17,12 +20,31 @@ metadata first, join payloads back by id), and cap Arrow batch sizes
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Optional-import seam: deployments with real codec libraries get real
+# decodes; this sandbox (no pip/apt) gets the deterministic stubs. The
+# active decoder is stamped into every output row (``decoder`` column)
+# so downstream can never mistake stub features for real ones.
+try:  # pragma: no cover — PIL absent in the sandbox
+    from PIL import Image as _PILImage
+    _HAVE_PIL = True
+except ImportError:
+    _HAVE_PIL = False
+try:  # pragma: no cover — soundfile absent in the sandbox
+    import soundfile as _soundfile
+    _HAVE_SOUNDFILE = True
+except ImportError:
+    _HAVE_SOUNDFILE = False
+
+IMAGE_DECODER = "pil" if _HAVE_PIL else "stub"
+AUDIO_DECODER = "soundfile" if _HAVE_SOUNDFILE else "stub"
 
 MEDIA_META_SCHEMA = (
     "doc_id string, media_ref string, media_kind string, "
@@ -31,11 +53,15 @@ MEDIA_META_SCHEMA = (
 
 
 def _decode_image_bytes(payload: bytes) -> np.ndarray:
-    """STUB — real deployments plug PIL/libjpeg here. Deterministic fake:
-    a 4x4 'image' seeded from the payload digest so tests are stable.
-    Raises for None to mirror real decoder behavior."""
+    """Image decode kernel. With PIL installed this is a real decode;
+    otherwise a clearly-marked deterministic STUB: a 4x4 'image' seeded
+    from the payload digest so tests are stable. Raises for None to
+    mirror real decoder behavior."""
     if payload is None:
         raise ValueError("empty payload")
+    if _HAVE_PIL:  # pragma: no cover — exercised where PIL exists
+        img = _PILImage.open(io.BytesIO(payload)).convert("RGB")
+        return np.asarray(img)
     seed = int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
     rng = np.random.RandomState(seed)
     return rng.randint(0, 256, size=(4, 4, 3), dtype=np.uint8)
@@ -59,7 +85,8 @@ def extract_image_features(media: DataFrame, id_cols: tuple[str, ...] = ("doc_id
     failing the task (violation-row philosophy, not fail-the-job)."""
     out_schema = (
         ", ".join(f"{c} string" for c in id_cols)
-        + ", mean_r double, mean_g double, mean_b double, width int, height int, decode_error string"
+        + ", mean_r double, mean_g double, mean_b double, width int, height int, "
+        "decode_error string, decoder string"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -86,6 +113,7 @@ def extract_image_features(media: DataFrame, id_cols: tuple[str, ...] = ("doc_id
             out["width"] = pd.Series(dims[:, 0]).astype("Int32")
             out["height"] = pd.Series(dims[:, 1]).astype("Int32")
             out["decode_error"] = errs
+            out["decoder"] = IMAGE_DECODER
             yield out
 
     return media.select(*id_cols, payload_col).mapInPandas(run, schema=out_schema)
@@ -101,7 +129,7 @@ def resize_images(media: DataFrame, width: int, height: int,
     test. Bad payloads emit null bytes + an error tag."""
     out_schema = (
         ", ".join(f"{c} string" for c in id_cols)
-        + ", resized binary, width int, height int, resize_error string"
+        + ", resized binary, width int, height int, resize_error string, decoder string"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -127,17 +155,22 @@ def resize_images(media: DataFrame, width: int, height: int,
             out["width"] = pd.Series(np.where(pd.isna(errs), width, np.nan)).astype("Int32")
             out["height"] = pd.Series(np.where(pd.isna(errs), height, np.nan)).astype("Int32")
             out["resize_error"] = errs
+            out["decoder"] = IMAGE_DECODER
             yield out
 
     return media.select(*id_cols, payload_col).mapInPandas(run, schema=out_schema)
 
 
 def _decode_audio_bytes(payload: bytes, sample_rate: int = 16000) -> np.ndarray:
-    """STUB — real deployments plug soundfile/ffmpeg here. Deterministic
-    fake: one second of float32 samples seeded from the payload digest.
-    Raises for None to mirror real decoder behavior."""
+    """Audio decode kernel. With soundfile installed this is a real
+    decode; otherwise a clearly-marked deterministic STUB: one second of
+    float32 samples seeded from the payload digest. Raises for None to
+    mirror real decoder behavior."""
     if payload is None:
         raise ValueError("empty payload")
+    if _HAVE_SOUNDFILE:  # pragma: no cover — exercised where it exists
+        samples, _sr = _soundfile.read(io.BytesIO(payload), dtype="float32")
+        return samples if samples.ndim == 1 else samples.mean(axis=1)
     seed = int.from_bytes(hashlib.sha256(payload).digest()[4:8], "big")
     rng = np.random.RandomState(seed)
     return rng.uniform(-1.0, 1.0, size=sample_rate).astype(np.float32)
@@ -153,7 +186,8 @@ def extract_audio_features(media: DataFrame,
     extract_image_features."""
     out_schema = (
         ", ".join(f"{c} string" for c in id_cols)
-        + ", duration_sec double, rms double, peak double, zcr double, decode_error string"
+        + ", duration_sec double, rms double, peak double, zcr double, "
+        "decode_error string, decoder string"
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -176,6 +210,7 @@ def extract_audio_features(media: DataFrame,
             out["peak"] = feats[:, 2]
             out["zcr"] = feats[:, 3]
             out["decode_error"] = errs
+            out["decoder"] = AUDIO_DECODER
             yield out
 
     return media.select(*id_cols, payload_col).mapInPandas(run, schema=out_schema)

@@ -27,25 +27,42 @@ from . import rules as R
 def fused_verdicts_and_drift(docs: DataFrame, rules: R.RuleSet | None = None,
                              lo: int = 0, hi: int = 128, n_bins: int = 32,
                              by: tuple[str, ...] = ("part_key",),
-                             ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Returns (vd_part, kind_freq, offset_hist) from one scan.
+                             ) -> tuple[DataFrame, DataFrame, DataFrame,
+                                        DataFrame, DataFrame]:
+    """Returns (vd_part, kind_freq, offset_hist, lang_freq,
+    quality_hist) from one scan.
 
     vd_part matches R.verdicts(docs, rules, by=by) exactly;
-    kind_freq/offset_hist match drift.drift_profile(docs, lo, hi).
-    The grouping-sets result is ≤ n_parts·n_rules + n_kinds + n_bins
-    rows — collected once, re-emitted as local DataFrames.
+    kind_freq/offset_hist match drift.drift_profile(docs, lo, hi);
+    lang_freq/quality_hist match drift.text_distributions(docs). The
+    text metrics are computed per DOC before the explode (two tiny
+    columns carried through it) and counted on doc rows only, so the
+    text-drift gate costs no extra pass. The grouping-sets result is
+    ≤ n_parts·n_rules + n_kinds + 2·n_bins + n_langs rows — collected
+    once, re-emitted as local DataFrames.
     """
     rules = rules or R.RuleSet()
     gb = list(by)
     spark = docs.sparkSession
 
+    from ..operators import drift as D
+    from ..operators.textstats import lang_id
+
     flag_cols = {f"_df_{r.rule_id}": R._null_safe_violated(r.violated())
                  for r in rules.doc_rules}
-    flagged = docs.select(*gb, "spans", *[c.alias(n) for n, c in flag_cols.items()])
-    exploded = S.explode_spans(flagged, keep=(*gb, *flag_cols), outer=True)
+    # per-doc text metrics, computed ONCE per doc pre-explode
+    flagged = docs.select(
+        *gb, "spans", D.doc_text().alias("_doc_text"),
+        *[c.alias(n) for n, c in flag_cols.items()],
+    ).select(
+        *gb, "spans", lang_id("_doc_text").alias("_lang"),
+        D.quality_bucket("_doc_text", n_bins).alias("_qb"),
+        *flag_cols,
+    )
+    exploded = S.explode_spans(flagged, keep=(*gb, "_lang", "_qb", *flag_cols),
+                               outer=True)
 
-    from ..operators.drift import offset_bucket as _ob
-    off_bucket = _ob(lo, hi, n_bins)  # THE binning rule (drift.py)
+    off_bucket = D.offset_bucket(lo, hi, n_bins)  # THE binning rule
 
     span_checked = F.col("span_index").isNotNull()
     is_doc_row = F.col("span_index").isNull() | (F.col("span_index") == 0)
@@ -66,24 +83,35 @@ def fused_verdicts_and_drift(docs: DataFrame, rules: R.RuleSet | None = None,
 
     base = exploded.withColumn("off_bucket", off_bucket)
     gs = (
-        base.groupingSets([[*gb], ["kind"], ["off_bucket"]],
-                          *gb, "kind", "off_bucket")
-        .agg(*aggs, F.grouping_id(*gb, "kind", "off_bucket").alias("_gid"))
+        base.groupingSets([[*gb], ["kind"], ["off_bucket"], ["_lang"], ["_qb"]],
+                          *gb, "kind", "off_bucket", "_lang", "_qb")
+        .agg(*aggs,
+             F.grouping_id(*gb, "kind", "off_bucket", "_lang", "_qb").alias("_gid"))
         .collect()
     )
 
-    # grouping_id bit per column, MSB first: (by..., kind, off_bucket).
-    # A set bit means the column is AGGREGATED (not part of the set).
-    n_cols = len(gb) + 2
-    gid_part = (1 << 1) | 1            # kind+off_bucket aggregated
-    gid_kind = ((1 << n_cols) - 1) ^ (1 << 1)
-    gid_off = ((1 << n_cols) - 1) ^ 1
+    # grouping_id bit per column, MSB first: (by..., kind, off_bucket,
+    # _lang, _qb). A set bit means the column is AGGREGATED (not part
+    # of the set) — each grouping set clears exactly its own bit.
+    n_cols = len(gb) + 4
+    all_bits = (1 << n_cols) - 1
+    gid_part = all_bits ^ (((1 << len(gb)) - 1) << 4)  # by-cols grouped
+    gid_kind = all_bits ^ (1 << 3)
+    gid_off = all_bits ^ (1 << 2)
+    gid_lang = all_bits ^ (1 << 1)
+    gid_qb = all_bits ^ 1
 
     part_rows = [r for r in gs if r["_gid"] == gid_part]
     kind_rows = [(r["kind"], r["_n_spans"]) for r in gs
                  if r["_gid"] == gid_kind and r["kind"] is not None]
     off_rows = [(r["off_bucket"], r["_n_spans"]) for r in gs
                 if r["_gid"] == gid_off and r["off_bucket"] is not None]
+    # text metrics count DOC rows (the explode fans each doc's _lang/_qb
+    # out over its spans; is_doc_row restores one-per-doc counting)
+    lang_rows = [(r["_lang"], r["_n_docs"]) for r in gs
+                 if r["_gid"] == gid_lang and r["_lang"] is not None]
+    qb_rows = [(r["_qb"], r["_n_docs"]) for r in gs
+               if r["_gid"] == gid_qb and r["_qb"] is not None]
 
     # -- vd_part: same unpivot + rate/pass math as R.verdicts ----------
     vd_out = []
@@ -111,4 +139,13 @@ def fused_verdicts_and_drift(docs: DataFrame, rules: R.RuleSet | None = None,
     off_df = spark.createDataFrame(
         [(int(b), c / o_tot) for b, c in off_rows], "bucket int, freq double"
     )
-    return vd_part, kind_df, off_df
+    # -- text distributions: same normalization as text_distributions --
+    l_tot = sum(c for _, c in lang_rows) or 1
+    q_tot = sum(c for _, c in qb_rows) or 1
+    lang_df = spark.createDataFrame(
+        [(k, c / l_tot) for k, c in lang_rows], "bucket string, freq double"
+    )
+    q_df = spark.createDataFrame(
+        [(int(b), c / q_tot) for b, c in qb_rows], "bucket int, freq double"
+    )
+    return vd_part, kind_df, off_df, lang_df, q_df

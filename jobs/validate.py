@@ -104,11 +104,13 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     # fall back to separate passes because drift must profile the FULL
     # table while verdicts cover only pending partitions.
     fused_profile = None
+    fused_text = None
     if store is None or not resume:
-        vd_part, fused_kind, fused_off = F_fused.fused_verdicts_and_drift(
-            docs, rules, lo=0, hi=128
+        vd_part, fused_kind, fused_off, fused_lang, fused_q = (
+            F_fused.fused_verdicts_and_drift(docs, rules, lo=0, hi=128)
         )
         fused_profile = (fused_kind, fused_off)
+        fused_text = (fused_lang, fused_q)
     else:
         vd_part = R.verdicts(docs, rules, by=("part_key",))
 
@@ -158,6 +160,22 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         drift_rows = drift.verdicts_from_profiles(cur_kind, cur_off, b_kind, b_off)
     else:
         drift_rows = drift.drift_verdicts(docs_all, b_kind, b_off, lo=0, hi=128)
+
+    # text-profile drift (lang-ID PSI + quality-histogram KS) — the
+    # LLM-pipeline text operators feeding the validation gate. Skipped
+    # for baselines frozen before these rows existed. Fresh runs get
+    # the current profiles from the SAME fused scan as everything else;
+    # resumed runs pay one doc-level scan of the full table (global
+    # distribution, like the span drift above).
+    b_text = drift.load_text_baseline(spark, baseline_path)
+    if b_text is not None:
+        cur_lang, cur_q = (
+            fused_text if fused_text is not None
+            else drift.text_distributions(docs_all)
+        )
+        drift_rows += drift.text_verdicts_from_profiles(
+            cur_lang, cur_q, b_text[0], b_text[1]
+        )
 
     gate_pass = R.gate(vd) and all(d["pass"] for d in drift_rows)
 

@@ -15,7 +15,9 @@ def test_fused_matches_separate_passes(spark):
     docs = datagen.documents_spans(spark, 2000)
     rules = R.RuleSet()
 
-    vd_f, kind_f, off_f = fused_verdicts_and_drift(docs, rules, lo=0, hi=128)
+    vd_f, kind_f, off_f, lang_f, q_f = fused_verdicts_and_drift(
+        docs, rules, lo=0, hi=128
+    )
 
     vd_sep = R.verdicts(docs, rules, by=("part_key",))
     assert sorted(vd_f.columns) == sorted(vd_sep.columns)
@@ -24,6 +26,13 @@ def test_fused_matches_separate_passes(spark):
     kind_sep, off_sep = drift.drift_profile(docs, lo=0, hi=128)
     assert _rows(kind_f) == _rows(kind_sep)
     assert _rows(off_f) == _rows(off_sep)
+
+    # the text distributions fused into the same scan must match the
+    # standalone doc-level pass (one-per-doc counting despite the fan-out
+    # of _lang/_qb over span rows)
+    lang_sep, q_sep = drift.text_distributions(docs)
+    assert _rows(lang_f) == _rows(lang_sep)
+    assert _rows(q_f) == _rows(q_sep)
 
 
 def test_fused_is_one_scan(spark):

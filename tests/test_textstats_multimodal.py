@@ -54,6 +54,34 @@ def test_image_feature_plumbing(spark):
     # determinism: same ref → same features
     again = {r["doc_id"]: r for r in multimodal.extract_image_features(media).collect()}
     assert again["d1"]["mean_r"] == feats["d1"]["mean_r"]
+    # decoder stamp: downstream must be able to tell stub features from
+    # real ones — in this sandbox (no PIL) every row says 'stub'
+    assert all(r["decoder"] == multimodal.IMAGE_DECODER for r in again.values())
+    assert multimodal.IMAGE_DECODER == ("pil" if multimodal._HAVE_PIL else "stub")
+
+
+def test_real_image_decoder_roundtrip(spark):
+    """Seam check for deployments WITH codec libraries: a real PNG
+    decodes to its true pixels through the same operator (skipped in
+    this sandbox — no PIL; the routing itself is covered above via the
+    decoder stamp)."""
+    import pytest
+    PIL = pytest.importorskip("PIL")
+    import io
+    from PIL import Image
+    import numpy as np
+
+    buf = io.BytesIO()
+    Image.fromarray(np.full((5, 7, 3), 200, dtype=np.uint8)).save(buf, "PNG")
+    media = spark.createDataFrame(
+        [("d1", "r1", bytearray(buf.getvalue()))],
+        "doc_id string, media_ref string, payload binary",
+    )
+    row = multimodal.extract_image_features(media).collect()[0]
+    assert row["decoder"] == "pil"
+    assert (row["width"], row["height"]) == (7, 5)
+    assert row["mean_r"] == 200.0
+    del PIL
 
 
 def test_frame_sample_plan(spark):
