@@ -107,7 +107,8 @@ def _bench_docs_path(spark, n_docs: int) -> str:
     return path
 
 
-def _validate_synthetic(spark, n_docs: int) -> tuple[int, int]:
+def _validate_synthetic(spark, n_docs: int,
+                        docs_path: str | None = None) -> tuple[int, int]:
     """The full rule-set (span+doc rules fused scan, uniqueness,
     referential) reading the materialized synthetic table — one number
     that tracks the north metric (validated docs/sec from storage)."""
@@ -115,10 +116,33 @@ def _validate_synthetic(spark, n_docs: int) -> tuple[int, int]:
     from intent_classifier_service_spark.plans import rules as R
     from intent_classifier_service_spark.sources.tables import read_documents_spans
 
-    docs = read_documents_spans(spark, _bench_docs_path(spark, n_docs))
+    docs = read_documents_spans(spark, docs_path or _bench_docs_path(spark, n_docs))
     refs = datagen.valid_media_refs(spark)
     n_viol = R.full_violations(docs, refs).count()
     return n_docs, n_viol
+
+
+def _shard_paths(spark, n_docs: int, k: int = 4) -> list[str]:
+    """Split the stored bench table into k disjoint shards by
+    pmod(xxhash64(doc_id), k) — the same doc_id-hash partitioning a
+    real cluster's shuffle uses, so duplicate doc_ids co-locate and the
+    union of per-shard validation results EQUALS the single-run result
+    (uniqueness included). Written once, cached across samples."""
+    import glob
+
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.sources.tables import read_documents_spans
+
+    base = _bench_docs_path(spark, n_docs)
+    paths = []
+    for i in range(k):
+        p = f"/tmp/spark_graft_bench_docs_{n_docs}_shard{i}of{k}.parquet"
+        if not glob.glob(os.path.join(p, "_SUCCESS")):
+            docs = read_documents_spans(spark, base)
+            docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(k)) == i) \
+                .repartition(16).write.mode("overwrite").parquet(p)
+        paths.append(p)
+    return paths
 
 
 def run_scaling(n_docs: int, cpu_pair: tuple[int, int] = (8, 32),
@@ -154,6 +178,83 @@ def run_scaling(n_docs: int, cpu_pair: tuple[int, int] = (8, 32),
     }
 
 
+def run_crossjvm(n_docs: int, k: int = 4, cpus: int = 8,
+                 repeats: int = 3) -> dict:
+    """Cross-JVM scaling evidence: the SAME validation job as k
+    concurrent PROCESSES (each its own JVM, local[cpus], one disjoint
+    doc_id-hash shard) vs ONE process (local[cpus], full input).
+
+    This is the sandbox's closest analog of N → k·N executors on a real
+    cluster: separate heaps, separate GC, separate Python workers — the
+    shared-JVM ceiling measured in BENCH/BASELINE.md ("Why the 8→32
+    pair caps out") does not apply across processes. Aggregate
+    throughput = n_docs / max(shard walls); efficiency = that over
+    k × the single-process throughput. Interleaved min-of-k samples
+    (multi-tenant host). Workers run with a reduced 8g heap so k
+    concurrent JVMs fit comfortably; the single baseline uses the same
+    heap for a like-for-like comparison."""
+    from intent_classifier_service_spark.session import get_spark
+
+    spark = get_spark("bench-shard-prep", cpus=cpus)
+    _bench_docs_path(spark, n_docs)
+    shards = _shard_paths(spark, n_docs, k)
+    spark.stop()
+
+    env = dict(os.environ, SPARK_GRAFT_DRIVER_MEM="8g")
+    best_single, best_agg = float("inf"), float("inf")
+    single_secs, agg_secs = [], []
+    for _ in range(repeats):
+        out = subprocess.run(
+            [sys.executable, __file__, "--validate-only",
+             "--cpus", str(cpus), "--n-docs", str(n_docs)],
+            capture_output=True, text=True, check=True, env=env,
+        )
+        single = json.loads(out.stdout.strip().splitlines()[-1])
+        single_secs.append(single["validate_sec"])
+        best_single = min(best_single, single["validate_sec"])
+
+        procs = [
+            subprocess.Popen(
+                [sys.executable, __file__, "--validate-only",
+                 "--cpus", str(cpus), "--n-docs", str(n_docs // k),
+                 "--docs-path", p],
+                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                text=True, env=env,
+            )
+            for p in shards
+        ]
+        walls, shard_viols = [], 0
+        for pr in procs:
+            o, _ = pr.communicate()
+            r = json.loads(o.strip().splitlines()[-1])
+            walls.append(r["validate_sec"])
+            shard_viols += r["n_violations"]
+        # correctness cross-check: doc_id-hash sharding co-locates
+        # duplicates, so the shard union must equal the single run
+        assert shard_viols == single["n_violations"], (
+            shard_viols, single["n_violations"])
+        agg_secs.append(max(walls))
+        best_agg = min(best_agg, max(walls))
+
+    single_tput = n_docs / best_single
+    agg_tput = n_docs / best_agg
+    eff = agg_tput / (k * single_tput)
+    return {
+        "mode": "crossjvm",
+        "n_docs": n_docs,
+        "k_processes": k,
+        "cpus_per_process": cpus,
+        "single_sec": round(best_single, 3),
+        "single_docs_per_sec": round(single_tput, 1),
+        "sharded_max_sec": round(best_agg, 3),
+        "sharded_docs_per_sec": round(agg_tput, 1),
+        "speedup": round(best_single / best_agg, 3),
+        "scaling_efficiency": round(eff, 3),
+        "single_samples": [round(s, 3) for s in single_secs],
+        "sharded_samples": [round(s, 3) for s in agg_secs],
+    }
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
@@ -166,6 +267,11 @@ def main():
     ap.add_argument("--runs", type=int, default=2,
                     help="in-session runs for --validate-only (min reported)")
     ap.add_argument("--validate-only", action="store_true")
+    ap.add_argument("--docs-path", default=None,
+                    help="stored docs parquet for --validate-only (skips generation)")
+    ap.add_argument("--crossjvm", action="store_true",
+                    help="k sharded processes vs 1 process, same total input")
+    ap.add_argument("--k-processes", type=int, default=4)
     args = ap.parse_args()
 
     if args.validate_only:
@@ -173,19 +279,27 @@ def main():
 
         spark = get_spark("bench-validate", cpus=args.cpus)
         spark.range(1000).selectExpr("sum(id)").collect()  # JVM warmup
-        _bench_docs_path(spark, args.n_docs)  # materialize outside timing
+        if args.docs_path is None:
+            _bench_docs_path(spark, args.n_docs)  # materialize outside timing
         # steady-state throughput: run twice, report the better pass —
         # the first run pays one-time Catalyst planning + codegen
         # (serial, ~3 s) that a long-lived production job amortizes away.
         sec = float("inf")
         for _ in range(args.runs):
             t0 = time.time()
-            n_docs, n_viol = _validate_synthetic(spark, args.n_docs)
+            n_docs, n_viol = _validate_synthetic(spark, args.n_docs,
+                                                 docs_path=args.docs_path)
             sec = min(sec, time.time() - t0)
         spark.stop()
         print(json.dumps({"validate_sec": round(sec, 3), "n_docs": n_docs,
                           "n_violations": n_viol, "cpus": args.cpus,
                           "mode": "storage"}))
+        return
+
+    if args.crossjvm:
+        res = run_crossjvm(args.n_docs, k=args.k_processes,
+                           cpus=args.cpus or 8, repeats=args.repeats)
+        print(json.dumps(res))
         return
 
     if args.scaling:

@@ -69,7 +69,11 @@ def _batch_violations(pdf: pd.DataFrame) -> pd.DataFrame:
 
     text_null = pd.isna(text)
     ref_null = pd.isna(ref)
-    kind_bad = ~np.isin(kind.astype(str), ["text", "media"]) | pd.isna(kind)
+    # isin on the OBJECT array: an astype(str) here would go through
+    # numpy's fixed-width <U dtype, which silently truncates trailing
+    # NUL characters — 'text\x00' would collapse to 'text' and escape
+    # the rule while the JVM path flags it.
+    kind_bad = ~np.isin(kind, ["text", "media"]) | pd.isna(kind)
     is_text = kind == "text"
     is_media = kind == "media"
     mutex_bad = (is_text & (text_null | ~ref_null)) | (is_media & (ref_null | ~text_null))
@@ -81,14 +85,20 @@ def _batch_violations(pdf: pd.DataFrame) -> pd.DataFrame:
     if kind_bad.any():
         v = base[kind_bad].copy()
         v["rule_id"] = "R-SPAN-KIND"
-        v["observed"] = np.where(pd.isna(kind[kind_bad]), "<null>", kind[kind_bad].astype(str))
+        # keep object dtype end-to-end: np.char/<U strings drop NULs
+        v["observed"] = np.where(pd.isna(kind[kind_bad]), "<null>", kind[kind_bad])
         out.append(v)
     if mutex_bad.any():
         v = base[mutex_bad].copy()
         v["rule_id"] = "R-SPAN-MUTEX"
-        t = np.where(text_null[mutex_bad], "<null>", text[mutex_bad].astype(str))
-        m = np.where(ref_null[mutex_bad], "<null>", ref[mutex_bad].astype(str))
-        v["observed"] = np.char.add(np.char.add(np.char.add("text=", t.astype(str)), ",media_ref="), m.astype(str))
+        t = np.where(text_null[mutex_bad], "<null>", text[mutex_bad])
+        m = np.where(ref_null[mutex_bad], "<null>", ref[mutex_bad])
+        # object-dtype Series concat (C-level loop over PyStrings) —
+        # np.char.add would round-trip through <U and eat NUL chars
+        v["observed"] = (
+            "text=" + pd.Series(t, index=v.index, dtype=object)
+            + ",media_ref=" + pd.Series(m, index=v.index, dtype=object)
+        )
         out.append(v)
     if mono_bad.any():
         v = base[mono_bad].copy()
