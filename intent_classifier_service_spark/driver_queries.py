@@ -971,6 +971,51 @@ SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS est_jaccard FROM prefix_pairs
 """
 
 
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram-Jaccard near-dup pairs on the first-8-word prefix
+    corpus (same corpus as minhash_lsh_pairs — identical prefixes give
+    jaccard exactly 1.0, so the result is non-empty with planted-by-
+    construction pairs). Unlike minhash, this operator's jaccard is
+    EXACT (inverted-index intersection count, |A∪B| = |A|+|B|−∩), so
+    the oracle replicates the whole computation value-for-value: same
+    distinct word-3-gram shingles, same self-join, same arithmetic.
+    The df cap never fires at this corpus size (500 docs ≪ 1000)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias("text"),
+    )
+    return dedup.ngram_jaccard_pairs(docs, threshold=0.8).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH pref AS (
+  SELECT doc_id, lower(trim(array_to_string(string_split(text, ' ')[1:8], ' '))) AS ptext
+  FROM documents
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(ptext, '\\s+') AS t FROM pref
+), sh0 AS (
+  SELECT doc_id,
+         CASE WHEN len(t) - 2 <= 0 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct([array_to_string(t[i:i+2], ' ') FOR i IN generate_series(1, len(t) - 2)])
+         END AS sh
+  FROM toks
+), ex AS (
+  SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM sh0
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS na, b.n_sh AS nb,
+         CAST(count(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT id_a, id_b,
+       round(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+FROM pairs
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.8
+"""
+
+
 def q_simhash_pairs(spark, sf_dir):
     """SimHash near-pairs on the same prefix corpus. Identical prefixes
     → identical 64-bit simhash (hamming 0, found via any band); no
@@ -1415,6 +1460,7 @@ QUERIES = {
     "eval_averaged": (q_eval_averaged, SQL_EVAL_AVERAGED),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP),
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
