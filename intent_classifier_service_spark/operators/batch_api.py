@@ -85,10 +85,19 @@ CANARY_DOC = (
 def ready(spark: SparkSession) -> bool:
     """Smoke-validate one literal canary document through the full
     compiled rule DAG — the reference's is_ready canary classify
-    (gpt_intent_classifier.py:69-80, canary text preserved)."""
+    (gpt_intent_classifier.py:69-80, canary text preserved).
+
+    ONE driver action: the gate AND the zero-violation check both come
+    from a single aggregate over the verdict frame (sum n_violations
+    subsumes counting the violation rows — no second plan execution)."""
     docs = spark.createDataFrame(
         [CANARY_DOC],
         "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
     )
-    verdicts, violations = validate_batch(docs)
-    return R.gate(verdicts) and violations.count() == 0
+    verdicts, _violations = validate_batch(docs)
+    row = verdicts.agg(
+        F.min(F.col("pass").cast("int")).alias("all_pass"),
+        F.sum("n_violations").alias("n_viol"),
+    ).collect()[0]
+    all_pass = row["all_pass"] == 1 if row["all_pass"] is not None else True
+    return bool(all_pass) and (row["n_viol"] or 0) == 0
