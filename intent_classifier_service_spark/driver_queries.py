@@ -43,12 +43,17 @@ def derived_spans(docs: DataFrame) -> DataFrame:
     derived from documents(doc_id bigint, text) with deterministic
     injected violations — the portable analog of datagen.documents_spans.
 
-    Repartitions first ONLY when the input arrives under-split: the
-    test documents parquet is one small file (a single input split),
-    but the derived-span work downstream is wide. At 100 TB the scan
-    has thousands of real splits and this branch never fires — an
+    Repartitions ONLY when the input arrives under-split: the test
+    documents parquet is one small file (a single input split), but the
+    derived-span work downstream is wide. At 100 TB the scan has
+    thousands of real splits and this branch never fires — an
     unconditional repartition there would be a full-corpus shuffle for
-    nothing (round-1 verdict flag)."""
+    nothing (round-1 verdict flag). The repartition happens BEFORE the
+    span construction so the construction itself parallelizes across
+    all cores (after the select it would run inside the single-split
+    scan task); downstream multi-reference inlining of the derived
+    array is prevented by explode_spans' let-binding, not by
+    materializing here."""
     target = docs.sparkSession.sparkContext.defaultParallelism
     if docs.rdd.getNumPartitions() < target:
         docs = docs.repartition(target)

