@@ -135,9 +135,12 @@ def _emit(rules, unit_df: DataFrame, span_index_col: Column, keep: list[str]) ->
         for r in rules
     ]
     hits = F.filter(F.array(*entries), lambda x: x.isNotNull())
+    # No pre-filter on size(_hits): a non-outer explode already emits
+    # zero rows for empty arrays, and a filter predicate would re-inline
+    # the whole hits construction (projection collapse) — doubling the
+    # per-row rule evaluation for a semantically redundant check.
     return (
         unit_df.select(*keep, span_index_col.alias("span_index"), hits.alias("_hits"))
-        .filter(F.size("_hits") > 0)
         .select(*keep, "span_index", F.explode("_hits").alias("v"))
         .select(
             *keep,
