@@ -218,14 +218,19 @@ def run_crossjvm(n_docs: int, k: int = 4, cpus: int = 8,
                 [sys.executable, __file__, "--validate-only",
                  "--cpus", str(cpus), "--n-docs", str(n_docs // k),
                  "--docs-path", p],
-                stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE,
                 text=True, env=env,
             )
             for p in shards
         ]
         walls, shard_viols = [], 0
-        for pr in procs:
-            o, _ = pr.communicate()
+        for i, pr in enumerate(procs):
+            o, e = pr.communicate()
+            if pr.returncode != 0:
+                raise RuntimeError(
+                    f"shard {i} worker failed (rc={pr.returncode}): "
+                    f"{e.strip().splitlines()[-5:] if e else '<no stderr>'}"
+                )
             r = json.loads(o.strip().splitlines()[-1])
             walls.append(r["validate_sec"])
             shard_viols += r["n_violations"]

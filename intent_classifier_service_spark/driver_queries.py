@@ -1156,14 +1156,18 @@ _SQL_MARKER_HITS = {
 
 # lang_id is argmax over (hits, lang) struct comparison. Spark's
 # array_max tie-break: max hits, then max lang string ('fr'>'es'>'en'>'de')
-# — reproduced with a descending-lexicographic CASE chain.
-SQL_TEXT_PROFILE = f"""
-SELECT doc_id, n_tokens, n_subword, n_chars, punct_ratio, stopword_ratio, quality,
-       CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+# — reproduced with a descending-lexicographic CASE chain. ONE
+# definition shared by SQL_TEXT_PROFILE and the lang-drift oracle so
+# the two can never silently diverge.
+_SQL_LANG_CASE = """CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
             WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
             WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
             WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
-            ELSE 'de' END AS lang_pred
+            ELSE 'de' END"""
+
+SQL_TEXT_PROFILE = f"""
+SELECT doc_id, n_tokens, n_subword, n_chars, punct_ratio, stopword_ratio, quality,
+       {_SQL_LANG_CASE} AS lang_pred
 FROM (
   SELECT doc_id,
          CAST({_SQL_NTOK} AS INTEGER) AS n_tokens,
@@ -1294,8 +1298,13 @@ def q_ivf_topk_indexed(spark, sf_dir):
     (desc score, asc vec_id) tie-break puts v before the planted copy.
     Projected to rank-1 rows only — ranks 2..k are approximate-by-
     design (recall pinned in tests/test_similarity_extra.py); the
-    top-1-finds-the-duplicate property is exact and oracled."""
-    import tempfile
+    top-1-finds-the-duplicate property is exact and oracled.
+
+    The index is built into a deterministic per-SF cache path and
+    reused across runs (it is a pure function of the input + seed) —
+    a fresh mkdtemp per invocation would rebuild a corpus-sized index
+    AND leak it in /tmp on every gate run."""
+    import glob
 
     emb = _t(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
@@ -1308,8 +1317,16 @@ def q_ivf_topk_indexed(spark, sf_dir):
         (int(r["vec_id"]) + 100000, [float(x) for x in r["embedding"]])
         for r in emb.filter(F.col("vec_id") < 8).collect()
     ]
-    path = tempfile.mkdtemp(prefix="ivf_idx_")
-    similarity.build_ivf_index(corpus, path, n_centroids=16)
+    # cache key includes the source file's mtime+size so a regenerated
+    # embeddings table invalidates the cached index instead of silently
+    # serving stale cells
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    path = (f"/tmp/spark_graft_ivf_idx_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_{st.st_mtime_ns}_{st.st_size}")
+    if not glob.glob(os.path.join(path, "centroids", "_SUCCESS")):
+        similarity.build_ivf_index(corpus, path, n_centroids=16)
     out = similarity.ivf_topk_indexed(spark, path, qs, k=10, n_probe=4)
     return out.filter(F.col("rank") == 1).select("query_id", "vec_id", "rank")
 
@@ -1349,15 +1366,11 @@ def q_drift_psi_lang(spark, sf_dir):
     )
 
 
-# argmax tie-break chain matches Spark's struct array_max (max hits,
-# then max lang string: fr > es > en > de) — same as SQL_TEXT_PROFILE.
+# per-doc language buckets — the argmax chain is the shared
+# _SQL_LANG_CASE (single definition with SQL_TEXT_PROFILE).
 _SQL_LANG_PROF = f"""
   SELECT doc_id,
-         CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
-              WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
-              WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
-              WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
-              ELSE 'de' END AS bucket
+         {_SQL_LANG_CASE} AS bucket
   FROM (
     SELECT doc_id,
            {_SQL_MARKER_HITS['en']} AS h_en,

@@ -104,13 +104,16 @@ def lsh_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
 
     Guarantees k results per query (when the corpus holds ≥ k rows): a
     query landing in sparse buckets can gather < k candidates, so after
-    one metadata-sized count over the (persisted, candidates ≪ corpus)
-    candidate table, shortfall queries fall back to exact brute-force
-    top-k — their LSH rows are dropped entirely, so each query's result
-    comes from exactly one scorer (mixing the JVM and numpy scores of
-    the same pair would leave rank order to ~1e-16 float noise). The
-    fallback touches only the shortfall queries; well-bucketed queries
-    never pay for it."""
+    one metadata-sized per-query count of the candidate table,
+    shortfall queries fall back to exact brute-force top-k — their LSH
+    rows are dropped entirely, so each query's result comes from
+    exactly one scorer (mixing the JVM and numpy scores of the same
+    pair would leave rank order to ~1e-16 float noise). The fallback
+    touches only the shortfall queries. The count is a separate action
+    that re-runs the signature scan (2 scans become 3): deliberate —
+    persisting the candidate table instead would pin corpus-fraction-
+    sized blocks in executor storage for the session's lifetime (cache
+    leak per call), which is the worse trade at 100 TB."""
     dim = len(queries[0][1])
     sigs = hyperplane_signatures(embeddings, n_bits, id_col, vec_col, seed, dim=dim)
     r = n_bits // bands
@@ -151,7 +154,6 @@ def lsh_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
         banded.join(F.broadcast(qdf), ["band", "bucket"])
         .select("query_id", id_col)
         .dropDuplicates(["query_id", id_col])
-        .persist()  # tiny (candidates only); reused by count + scoring
     )
     cand_counts = {
         r["query_id"]: r["n"]

@@ -112,7 +112,12 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         fused_profile = (fused_kind, fused_off)
         fused_text = (fused_lang, fused_q)
     else:
-        vd_part = R.verdicts(docs, rules, by=("part_key",))
+        # persist: three consumers below (verdicts write, rule-stats
+        # append, mark-done counts) would otherwise each re-run the
+        # full explode + hash aggregation over the pending partitions;
+        # the aggregate itself is parts×rules rows — metadata-sized.
+        # (The fused path needs no persist: it collects once.)
+        vd_part = R.verdicts(docs, rules, by=("part_key",)).persist()
 
     # verdicts_by_partition is always the COMPLETE per-partition table:
     # on resume, completed partitions' rows are reconstructed from the
@@ -207,6 +212,8 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         store.mark_done_bulk(part_counts.join(part_viols, "part_key"),
                              snapshot_id="parquet-v0")
 
+    if resuming:
+        vd_part.unpersist()
     docs.unpersist()
     wall = time.time() - t0
     return {
