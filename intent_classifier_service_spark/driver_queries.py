@@ -869,6 +869,46 @@ WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
 """
 
 
+def q_tpch_q4(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS → LEFT SEMI join. The testdata
+    lineitem has no commit/receipt dates, so the 'late lineitem'
+    predicate is l_shipdate > o_orderdate + 60 days — same plan shape
+    (equi semi-join key + a non-equi residual referencing both sides).
+    At scale: the orders side is date-filtered before the join; the
+    semi-join never duplicates orders regardless of lineitem fan-out."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    win = o.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    late = win.join(
+        li,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+SQL_TPCH_Q4 = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o_orderkey
+      AND l.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (30-min) → per-session stats."""
     from .operators.sessions import session_stats
@@ -1469,6 +1509,7 @@ QUERIES = {
     "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),

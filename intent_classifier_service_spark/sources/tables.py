@@ -79,6 +79,22 @@ def read_documents_spans(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.schema(DOCUMENTS_SPANS_SCHEMA).parquet(path)
 
 
+def read_documents_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """JSONL documents (one JSON object per line) with the north-rule
+    schema — the canonical LLM training-data interchange format. The
+    schema is DECLARED, never inferred (inference would scan the corpus
+    once just to guess types, and a malformed leading file would
+    corrupt the schema for everything); malformed lines yield null
+    fields and surface through the doc rules as violation rows instead
+    of failing the job."""
+    return spark.read.schema(DOCUMENTS_SPANS_SCHEMA).json(path)
+
+
+def write_documents_jsonl(df: DataFrame, path: str) -> None:
+    """JSONL sink (one doc per line, spark-parallel files)."""
+    df.write.mode("overwrite").json(path)
+
+
 def save_as_csv(df: DataFrame, path: str, header: bool = True) -> None:
     """Single-file CSV export — reference S4 (save_as_csv,
     gpt_intent_classifier.py:590-603, one golden CSV per metric table).
