@@ -227,7 +227,9 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", default=None, help="parquet of (doc_id, spans, part_key); default: synthetic")
+    ap.add_argument("--input", default=None, help="stored (doc_id, spans, part_key) table; default: synthetic")
+    ap.add_argument("--input-format", choices=("parquet", "jsonl"), default="parquet",
+                    help="storage format of --input (jsonl = one JSON doc per line)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--resume", action="store_true")
@@ -239,11 +241,12 @@ def main() -> int:
     args = ap.parse_args()
 
     spark = get_spark("validate")
-    docs = (
-        tables.read_documents_spans(spark, args.input)
-        if args.input
-        else datagen.documents_spans(spark, args.n_docs)
-    )
+    if args.input:
+        reader = (tables.read_documents_jsonl if args.input_format == "jsonl"
+                  else tables.read_documents_spans)
+        docs = reader(spark, args.input)
+    else:
+        docs = datagen.documents_spans(spark, args.n_docs)
     refs = datagen.valid_media_refs(spark)
     store = CheckpointStore(spark, args.checkpoint) if args.checkpoint else None
     rules = R.RuleSet(max_violation_rate=args.max_violation_rate)
