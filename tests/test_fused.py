@@ -12,7 +12,16 @@ def _rows(df):
 
 
 def test_fused_matches_separate_passes(spark):
-    docs = datagen.documents_spans(spark, 2000)
+    # datagen always emits >= 1 span; union in the degenerate docs
+    # (null spans, empty spans, null doc_id) so the one-per-doc text
+    # counting and null-bucket exclusion are pinned equal on the edge
+    # cases too, not just the happy path
+    docs = datagen.documents_spans(spark, 2000).unionByName(
+        spark.createDataFrame(
+            [("null-spans", None, 3), ("empty-spans", [], 5)],
+            datagen.documents_spans(spark, 1).schema,
+        )
+    )
     rules = R.RuleSet()
 
     vd_f, kind_f, off_f, lang_f, q_f = fused_verdicts_and_drift(
