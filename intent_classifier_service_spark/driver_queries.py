@@ -909,6 +909,50 @@ GROUP BY o_orderpriority
 """
 
 
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 shape: fact-dim BROADCAST join + conditional decimal
+    aggregate ratio (promo revenue share of a ship-date window). Oracle
+    parity per CLAUDE.md decimal rules: both sums stay exact decimal on
+    both engines; only the final ratio is cast to double + round(4)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1994-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1994-09-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    rev = (dec("l_extendedprice")
+           * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,4)")
+    agg = j.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)
+              .otherwise(F.lit(0).cast("decimal(28,4)"))).alias("promo"),
+        F.sum(rev).alias("total"),
+    )
+    return agg.select(
+        F.round(
+            F.lit(100.0) * F.col("promo").cast("double") / F.col("total").cast("double"),
+            4,
+        ).alias("promo_revenue_pct")
+    )
+
+
+_SQL_Q14_REV = ("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+                "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) "
+                "AS DECIMAL(28,4))")
+
+SQL_TPCH_Q14 = f"""
+SELECT round(100.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE), 4) AS promo_revenue_pct
+FROM (
+  SELECT sum(CASE WHEN p_type = 'PROMO' THEN {_SQL_Q14_REV}
+             ELSE CAST(0 AS DECIMAL(28,4)) END) AS promo,
+         sum({_SQL_Q14_REV}) AS total
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1994-03-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1994-09-01 00:00:00'
+)
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (30-min) → per-session stats."""
     from .operators.sessions import session_stats
@@ -1512,6 +1556,7 @@ QUERIES = {
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
