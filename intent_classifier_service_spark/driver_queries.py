@@ -953,6 +953,61 @@ FROM (
 """
 
 
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 shape: 4-table join (fact ⋈ orders ⋈ broadcast
+    customer/nation dims) + grouped decimal revenue + global top-20 by
+    revenue (TakeOrderedAndProject — per-partition heaps, no full
+    sort). Deterministic tie-break on c_custkey so both engines cut the
+    LIMIT boundary identically."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R") \
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_nationkey"
+    )
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    rev = (dec("l_extendedprice")
+           * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,4)")
+    j = (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    agg = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        F.sum(rev).alias("_rev")
+    )
+    return (
+        agg.select(
+            "c_custkey", "c_name",
+            F.round(F.col("_rev").cast("double"), 4).alias("revenue"),
+            F.round("c_acctbal", 2).alias("c_acctbal"), "n_name",
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+SQL_TPCH_Q10 = f"""
+SELECT c_custkey, c_name,
+       round(CAST(sum({_SQL_Q14_REV}) AS DOUBLE), 4) AS revenue,
+       round(c_acctbal, 2) AS c_acctbal, n_name
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (30-min) → per-session stats."""
     from .operators.sessions import session_stats
@@ -1556,6 +1611,7 @@ QUERIES = {
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
