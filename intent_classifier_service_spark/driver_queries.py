@@ -1008,6 +1008,32 @@ LIMIT 20
 """
 
 
+def q_json_props_stats(spark, sf_dir):
+    """Semi-structured projection: extract a typed field from the JSON
+    ``props`` column (JVM-side get_json_object — no Python, no schema
+    inference pass) and aggregate per event_type, counting extraction
+    nulls the violation-row way (malformed/missing JSON degrades to a
+    counted null, never a task failure). The canonical shape for
+    validating event payloads at 100 TB: one scan, map-side partial
+    aggregation, the JSON parse stays inside codegen."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).cast("bigint").alias("sum_k"),
+        F.sum(k.isNull().cast("long")).alias("n_null_k"),
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type, count(*) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_sessionize_events(spark, sf_dir):
     """Gap-based sessionization (30-min) → per-session stats."""
     from .operators.sessions import session_stats
@@ -1612,6 +1638,7 @@ QUERIES = {
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
