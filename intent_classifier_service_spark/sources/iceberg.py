@@ -12,6 +12,11 @@ swapping in a real catalog touches no operator code.
 
 from __future__ import annotations
 
+import glob as _glob
+import hashlib
+import json
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 ICEBERG_CATALOG_CLASS = "org.apache.iceberg.spark.SparkCatalog"
@@ -36,26 +41,77 @@ def catalog_conf(warehouse: str, catalog: str = "lake") -> dict[str, str]:
     }
 
 
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "_snapshots")
+
+
+def _data_files(path: str) -> list[str]:
+    """All parquet data files under a table dir (recursive — covers
+    hive-partitioned layouts), excluding the manifest dir itself."""
+    files = _glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True)
+    return sorted(f for f in files if "_snapshots" not in f)
+
+
+def write_snapshot_manifest(path: str) -> str:
+    """Freeze the CURRENT file set of a parquet table dir as a snapshot
+    — the fallback's analog of an Iceberg snapshot commit. The manifest
+    (JSON list of data files) lives under ``<path>/_snapshots/<id>.json``
+    with a content-derived id, so a pinned read is immutable: files
+    appended later are simply not in the manifest. This is exactly the
+    mechanism Iceberg uses (manifests of data files), minus the
+    catalog."""
+    files = _data_files(path)
+    sid = hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    mf = os.path.join(_manifest_dir(path), f"{sid}.json")
+    if not os.path.exists(mf):
+        with open(mf, "w") as f:
+            json.dump({"snapshot_id": sid, "files": files}, f)
+    return sid
+
+
+def manifest_files(path: str, snapshot_id: str) -> list[str] | None:
+    """Data files pinned by a manifest snapshot, or None if no such
+    manifest exists (callers then fall back to the live directory)."""
+    mf = os.path.join(_manifest_dir(path), f"{snapshot_id}.json")
+    if not os.path.exists(mf):
+        return None
+    with open(mf) as f:
+        return json.load(f)["files"]
+
+
 def read_snapshot(spark: SparkSession, table_or_path: str,
                   snapshot_id: str | None = None) -> DataFrame:
     """Snapshot-pinned read. Iceberg: VERSION AS OF gives immutable
     lineage (the snapshot-id recorded in the checkpoint store). Parquet
-    fallback: the path IS the snapshot (append-only directories)."""
+    fallback: a manifest written by write_snapshot_manifest pins the
+    exact data files — later appends to the directory don't leak into
+    the read; without a manifest the path itself is the (mutable)
+    snapshot."""
     if iceberg_available(spark) and "/" not in table_or_path:
         if snapshot_id:
             return spark.sql(
                 f"SELECT * FROM {table_or_path} VERSION AS OF {snapshot_id}"
             )
         return spark.read.format("iceberg").load(table_or_path)
+    if snapshot_id:
+        files = manifest_files(table_or_path, snapshot_id)
+        if files is not None:
+            return spark.read.parquet(*files)
     return spark.read.parquet(table_or_path)
 
 
 def current_snapshot_id(spark: SparkSession, table: str) -> str:
     """Iceberg: latest snapshot id from the metadata table; parquet
-    fallback: a content-independent marker (the path)."""
+    fallback: the most recent manifest if one exists, else a
+    content-independent marker (the path)."""
     if iceberg_available(spark) and "/" not in table:
         row = spark.sql(
             f"SELECT snapshot_id FROM {table}.snapshots ORDER BY committed_at DESC LIMIT 1"
         ).first()
         return str(row["snapshot_id"]) if row else "none"
+    manifests = _glob.glob(os.path.join(_manifest_dir(table), "*.json"))
+    if manifests:
+        latest = max(manifests, key=os.path.getmtime)
+        return os.path.splitext(os.path.basename(latest))[0]
     return f"parquet:{table}"

@@ -75,7 +75,17 @@ def write_violations(df: DataFrame, path: str, mode: str = "overwrite",
     w.parquet(path)
 
 
-def read_documents_spans(spark: SparkSession, path: str) -> DataFrame:
+def read_documents_spans(spark: SparkSession, path: str,
+                         snapshot_id: str | None = None) -> DataFrame:
+    """Declared-schema parquet read; with ``snapshot_id`` the read is
+    PINNED to the files a manifest snapshot froze (sources/iceberg.py
+    fallback semantics) — later appends to the directory don't leak in,
+    matching Iceberg's VERSION AS OF."""
+    if snapshot_id is not None:
+        from . import iceberg as IB
+        files = IB.manifest_files(path, snapshot_id)
+        if files is not None:
+            return spark.read.schema(DOCUMENTS_SPANS_SCHEMA).parquet(*files)
     return spark.read.schema(DOCUMENTS_SPANS_SCHEMA).parquet(path)
 
 

@@ -34,7 +34,7 @@ from intent_classifier_service_spark.streaming.checkpoint import CheckpointStore
 
 def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = None,
         resume: bool = False, rules: R.RuleSet | None = None,
-        baseline: str | None = None) -> dict:
+        baseline: str | None = None, snapshot_id: str = "parquet-v0") -> dict:
     rules = rules or R.RuleSet()
     t0 = time.time()
     docs_all = docs  # drift always sees the full table (see below)
@@ -210,7 +210,7 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         # against for pre-existing checkpoints.
         store.append_rule_stats(vd_part)
         store.mark_done_bulk(part_counts.join(part_viols, "part_key"),
-                             snapshot_id="parquet-v0")
+                             snapshot_id=snapshot_id)
 
     if resuming:
         vd_part.unpersist()
@@ -241,17 +241,29 @@ def main() -> int:
     args = ap.parse_args()
 
     spark = get_spark("validate")
+    snapshot_id = "synthetic-v0"
     if args.input:
-        reader = (tables.read_documents_jsonl if args.input_format == "jsonl"
-                  else tables.read_documents_spans)
-        docs = reader(spark, args.input)
+        if args.input_format == "jsonl":
+            docs = tables.read_documents_jsonl(spark, args.input)
+            snapshot_id = f"jsonl:{args.input}"
+        else:
+            # freeze the input's CURRENT file set as a manifest snapshot
+            # and pin the whole run to it — genuine lineage: the
+            # checkpoint records which exact files each partition's
+            # verdicts came from, and files appended mid-run or later
+            # can't leak in (Iceberg VERSION AS OF semantics; parquet
+            # manifest fallback in this sandbox).
+            from intent_classifier_service_spark.sources import iceberg as IB
+            snapshot_id = IB.write_snapshot_manifest(args.input)
+            docs = tables.read_documents_spans(spark, args.input,
+                                               snapshot_id=snapshot_id)
     else:
         docs = datagen.documents_spans(spark, args.n_docs)
     refs = datagen.valid_media_refs(spark)
     store = CheckpointStore(spark, args.checkpoint) if args.checkpoint else None
     rules = R.RuleSet(max_violation_rate=args.max_violation_rate)
     result = run(spark, docs, refs, args.output, store, args.resume, rules,
-                 baseline=args.baseline)
+                 baseline=args.baseline, snapshot_id=snapshot_id)
     print(json.dumps(result))
     return 0 if result["gate_pass"] else 1
 

@@ -17,3 +17,32 @@ def test_catalog_conf_shape():
     conf = iceberg.catalog_conf("/warehouse")
     assert conf["spark.sql.catalog.lake"].endswith("SparkCatalog")
     assert conf["spark.sql.catalog.lake.warehouse"] == "/warehouse"
+
+
+def test_manifest_snapshot_pinning(spark, tmp_path):
+    """The parquet fallback's manifest snapshots give REAL pinning:
+    files appended after the snapshot never leak into a pinned read,
+    and the checkpointable snapshot id is stable and discoverable."""
+    from intent_classifier_service_spark import datagen
+    from intent_classifier_service_spark.sources import tables
+
+    p = str(tmp_path / "docs")
+    datagen.documents_spans(spark, 50).write.parquet(p)
+    sid = iceberg.write_snapshot_manifest(p)
+    assert iceberg.current_snapshot_id(spark, p) == sid
+
+    # append more data AFTER the snapshot
+    datagen.documents_spans(spark, 30).write.mode("append").parquet(p)
+    assert iceberg.read_snapshot(spark, p).count() == 80          # live
+    assert iceberg.read_snapshot(spark, p, sid).count() == 50     # pinned
+    # declared-schema pinned read used by the validate job
+    assert tables.read_documents_spans(spark, p, snapshot_id=sid).count() == 50
+
+    # freezing again captures the appended files under a NEW id;
+    # re-freezing an unchanged dir is idempotent
+    sid2 = iceberg.write_snapshot_manifest(p)
+    assert sid2 != sid
+    assert iceberg.read_snapshot(spark, p, sid2).count() == 80
+    assert iceberg.write_snapshot_manifest(p) == sid2
+    # unknown snapshot id → live-directory fallback, not an error
+    assert iceberg.read_snapshot(spark, p, "deadbeef").count() == 80
