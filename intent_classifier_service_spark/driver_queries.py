@@ -1008,6 +1008,50 @@ LIMIT 20
 """
 
 
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING on an aggregate → left_semi join back
+    into the fact/dim join (large-quantity orders). l_quantity values
+    are integer-valued doubles, so the double sums are exact in any
+    accumulation order — the one case where summing doubles is
+    oracle-safe (CLAUDE.md rule caveat)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    big = (
+        li.groupBy("l_orderkey").agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 280)
+        .select("l_orderkey")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = (
+        o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey",
+               "left_semi")
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+    )
+    return j.groupBy("c_name", "c_custkey", "o_orderkey", "o_totalprice").agg(
+        F.sum("l_quantity").alias("sum_qty")
+    ).select(
+        "c_name", "c_custkey", "o_orderkey",
+        F.round("o_totalprice", 2).alias("o_totalprice"), "sum_qty",
+    )
+
+
+SQL_TPCH_Q18 = """
+SELECT c_name, c_custkey, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice, sum(l_quantity) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 280
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
+"""
+
+
 def q_json_props_stats(spark, sf_dir):
     """Semi-structured projection: extract a typed field from the JSON
     ``props`` column (JVM-side get_json_object — no Python, no schema
@@ -1640,6 +1684,7 @@ QUERIES = {
     "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
     "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
