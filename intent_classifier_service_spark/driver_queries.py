@@ -23,6 +23,8 @@ from pyspark.sql import functions as F
 
 from .operators import dedup, metrics, referential, response_validation as RV
 from .operators import sampling, similarity, stats, textstats, uniqueness
+from .operators.multimodal import AUDIO_DECODER as _AUDIO_DEC
+from .operators.multimodal import IMAGE_DECODER as _IMAGE_DEC
 from .plans import rules as R
 
 LANGS = ["de", "en", "es", "fr", "zh"]
@@ -1061,7 +1063,12 @@ def q_json_props_stats(spark, sf_dir):
     validating event payloads at 100 TB: one scan, map-side partial
     aggregation, the JSON parse stays inside codegen."""
     ev = _t(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("int")
+    # try_cast, not cast: with ANSI mode ON a plain cast THROWS on a
+    # well-formed JSON whose $.k is a non-numeric string — only
+    # unparseable JSON / missing keys degrade to null. try_cast makes
+    # the docstring's "counted null, never a task failure" semantics
+    # actually true (TRY_CAST mirrors it in the DuckDB oracle).
+    k = F.get_json_object("props", "$.k").try_cast("int")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(k).cast("bigint").alias("sum_k"),
@@ -1071,8 +1078,8 @@ def q_json_props_stats(spark, sf_dir):
 
 SQL_JSON_PROPS = """
 SELECT event_type, count(*) AS n,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
-       CAST(sum(CASE WHEN CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL
+       CAST(sum(TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
+       CAST(sum(CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) IS NULL
                 THEN 1 ELSE 0 END) AS BIGINT) AS n_null_k
 FROM events GROUP BY event_type
 """
@@ -1430,33 +1437,50 @@ _PROBE_CTE = SPANS_CTE + """
 """
 
 
+def _empty_payload_only(err_col: str):
+    """Decoder-INDEPENDENT error projection: the null-payload path
+    short-circuits before any decoder with the fixed message
+    'empty payload' (multimodal._decode_*_bytes), so equality against
+    that literal is stable across stub/PIL/soundfile; decoder-specific
+    failure messages (e.g. PIL on garbage bytes) project to NULL on
+    both engines instead of breaking the hash gate in decoder-equipped
+    deployments (round-3 ADVICE)."""
+    c = F.col(err_col)
+    return F.when(c == "empty payload", c).alias("empty_payload_error")
+
+
 def q_multimodal_features(spark, sf_dir):
     """PORTABLE projection of the image-feature operator: ids, the
-    decode_error flag (pure SQL of payload nullness), and the decoder
-    stamp. The full operator (mapInPandas decode + feature kernel) runs
-    end-to-end; only the stub feature VALUES (sha-seeded mean RGB/dims,
-    no DuckDB equivalent) are left to pytest
-    (tests/test_textstats_multimodal.py)."""
+    decoder-independent empty-payload error flag (pure SQL of payload
+    nullness), and the decoder stamp (interpolated into the oracle at
+    import time, so a PIL-equipped deployment still matches). The full
+    operator (mapInPandas decode + feature kernel) runs end-to-end;
+    only the stub feature VALUES (sha-seeded mean RGB/dims, no DuckDB
+    equivalent) are left to pytest (tests/test_textstats_multimodal.py)."""
     from .operators import multimodal
 
     return multimodal.extract_image_features(_probe_media(spark, sf_dir)).select(
-        "doc_id", "media_ref", "decode_error", "decoder"
+        "doc_id", "media_ref", _empty_payload_only("decode_error"), "decoder"
     )
 
 
-SQL_MULTIMODAL_FEATURES = _PROBE_CTE + """
+SQL_MULTIMODAL_FEATURES = _PROBE_CTE + f"""
 SELECT doc_id, media_ref,
-       CASE WHEN null_payload THEN 'empty payload' END AS decode_error,
-       'stub' AS decoder
+       CASE WHEN null_payload THEN 'empty payload' END AS empty_payload_error,
+       '{_IMAGE_DEC}' AS decoder
 FROM probe
 """
 
 
 def q_multimodal_resize(spark, sf_dir):
     """PORTABLE projection of the resize operator: ids, post-resize
-    dims (the 8x6 TARGET constants on success, -1 sentinel on decode
-    error — avoids nullable-int dtype skew between engines), error flag,
-    decoder stamp. Resized bytes stay pytest-only."""
+    dims (-1 sentinel on decode error — avoids nullable-int dtype skew
+    between engines), decoder-independent error flag, decoder stamp.
+    Resized bytes stay pytest-only. The oracle's dims expression is
+    built per-decoder at import time: the stub decodes any non-null
+    payload (→ target 8x6), while a real decoder fails on the
+    deterministic fake payloads (32 digest bytes are not a valid
+    image) → -1 everywhere."""
     from .operators import multimodal
 
     out = multimodal.resize_images(_probe_media(spark, sf_dir), 8, 6)
@@ -1464,16 +1488,19 @@ def q_multimodal_resize(spark, sf_dir):
         "doc_id", "media_ref",
         F.coalesce("width", F.lit(-1)).alias("width"),
         F.coalesce("height", F.lit(-1)).alias("height"),
-        "resize_error", "decoder",
+        _empty_payload_only("resize_error"), "decoder",
     )
 
 
-SQL_MULTIMODAL_RESIZE = _PROBE_CTE + """
+_RESIZE_W = "CASE WHEN null_payload THEN -1 ELSE 8 END" if _IMAGE_DEC == "stub" else "-1"
+_RESIZE_H = "CASE WHEN null_payload THEN -1 ELSE 6 END" if _IMAGE_DEC == "stub" else "-1"
+
+SQL_MULTIMODAL_RESIZE = _PROBE_CTE + f"""
 SELECT doc_id, media_ref,
-       CAST(CASE WHEN null_payload THEN -1 ELSE 8 END AS INTEGER) AS width,
-       CAST(CASE WHEN null_payload THEN -1 ELSE 6 END AS INTEGER) AS height,
-       CASE WHEN null_payload THEN 'empty payload' END AS resize_error,
-       'stub' AS decoder
+       CAST({_RESIZE_W} AS INTEGER) AS width,
+       CAST({_RESIZE_H} AS INTEGER) AS height,
+       CASE WHEN null_payload THEN 'empty payload' END AS empty_payload_error,
+       '{_IMAGE_DEC}' AS decoder
 FROM probe
 """
 
@@ -1484,14 +1511,14 @@ def q_multimodal_audio(spark, sf_dir):
     from .operators import multimodal
 
     return multimodal.extract_audio_features(_probe_media(spark, sf_dir)).select(
-        "doc_id", "media_ref", "decode_error", "decoder"
+        "doc_id", "media_ref", _empty_payload_only("decode_error"), "decoder"
     )
 
 
-SQL_MULTIMODAL_AUDIO = _PROBE_CTE + """
+SQL_MULTIMODAL_AUDIO = _PROBE_CTE + f"""
 SELECT doc_id, media_ref,
-       CASE WHEN null_payload THEN 'empty payload' END AS decode_error,
-       'stub' AS decoder
+       CASE WHEN null_payload THEN 'empty payload' END AS empty_payload_error,
+       '{_AUDIO_DEC}' AS decoder
 FROM probe
 """
 

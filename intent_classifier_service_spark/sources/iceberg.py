@@ -55,29 +55,63 @@ def _data_files(path: str) -> list[str]:
 def write_snapshot_manifest(path: str) -> str:
     """Freeze the CURRENT file set of a parquet table dir as a snapshot
     — the fallback's analog of an Iceberg snapshot commit. The manifest
-    (JSON list of data files) lives under ``<path>/_snapshots/<id>.json``
-    with a content-derived id, so a pinned read is immutable: files
-    appended later are simply not in the manifest. This is exactly the
-    mechanism Iceberg uses (manifests of data files), minus the
-    catalog."""
+    (JSON list of data files + their (size, mtime_ns)) lives under
+    ``<path>/_snapshots/<id>.json`` with a content-derived id, so a
+    pinned read is immutable: files appended later are simply not in
+    the manifest, and an IN-PLACE rewrite of a data file (same name,
+    different bytes) changes its stat entry — the id differs AND
+    manifest_files detects the drift at read time instead of silently
+    serving changed content under a 'pinned' snapshot. This is exactly
+    the mechanism Iceberg uses (manifests of data files with
+    file-level metadata), minus the catalog."""
     files = _data_files(path)
-    sid = hashlib.sha256("\n".join(files).encode()).hexdigest()[:16]
+    stats = [
+        {"path": f, "size": os.path.getsize(f),
+         "mtime_ns": os.stat(f).st_mtime_ns}
+        for f in files
+    ]
+    key = "\n".join(f"{s['path']}|{s['size']}|{s['mtime_ns']}" for s in stats)
+    sid = hashlib.sha256(key.encode()).hexdigest()[:16]
     os.makedirs(_manifest_dir(path), exist_ok=True)
     mf = os.path.join(_manifest_dir(path), f"{sid}.json")
     if not os.path.exists(mf):
         with open(mf, "w") as f:
-            json.dump({"snapshot_id": sid, "files": files}, f)
+            json.dump({"snapshot_id": sid, "files": files, "stats": stats}, f)
     return sid
 
 
-def manifest_files(path: str, snapshot_id: str) -> list[str] | None:
+def manifest_files(path: str, snapshot_id: str,
+                   verify: bool = True) -> list[str] | None:
     """Data files pinned by a manifest snapshot, or None if no such
-    manifest exists (callers then fall back to the live directory)."""
+    manifest exists (callers decide whether to fall back or fail).
+
+    With ``verify`` (default), every pinned file's (size, mtime_ns) is
+    checked against the manifest: a missing or in-place-rewritten file
+    raises instead of letting a 'pinned' read serve different data than
+    the checkpoint lineage records. Manifests written before stats were
+    recorded verify existence only."""
     mf = os.path.join(_manifest_dir(path), f"{snapshot_id}.json")
     if not os.path.exists(mf):
         return None
     with open(mf) as f:
-        return json.load(f)["files"]
+        m = json.load(f)
+    if verify:
+        for s in m.get("stats") or [{"path": p} for p in m["files"]]:
+            p = s["path"]
+            if not os.path.exists(p):
+                raise FileNotFoundError(
+                    f"snapshot {snapshot_id}: pinned data file vanished: {p}"
+                )
+            if "size" in s and (
+                os.path.getsize(p) != s["size"]
+                or os.stat(p).st_mtime_ns != s["mtime_ns"]
+            ):
+                raise ValueError(
+                    f"snapshot {snapshot_id}: pinned data file rewritten "
+                    f"in place (size/mtime drift): {p} — the snapshot no "
+                    "longer describes the on-disk data"
+                )
+    return m["files"]
 
 
 def read_snapshot(spark: SparkSession, table_or_path: str,
@@ -95,9 +129,19 @@ def read_snapshot(spark: SparkSession, table_or_path: str,
             )
         return spark.read.format("iceberg").load(table_or_path)
     if snapshot_id:
+        # an EXPLICIT snapshot_id with no matching manifest raises — the
+        # Iceberg branch (VERSION AS OF) throws on an unknown snapshot,
+        # and silently reading the live mutable directory instead would
+        # let a resumed run validate different data than its checkpoint
+        # lineage records (round-3 ADVICE)
         files = manifest_files(table_or_path, snapshot_id)
-        if files is not None:
-            return spark.read.parquet(*files)
+        if files is None:
+            raise ValueError(
+                f"unknown snapshot {snapshot_id!r} for {table_or_path}: no "
+                "manifest under _snapshots/ — refusing to read the live "
+                "(mutable) directory in place of a pinned snapshot"
+            )
+        return spark.read.parquet(*files)
     return spark.read.parquet(table_or_path)
 
 

@@ -84,8 +84,14 @@ def read_documents_spans(spark: SparkSession, path: str,
     if snapshot_id is not None:
         from . import iceberg as IB
         files = IB.manifest_files(path, snapshot_id)
-        if files is not None:
-            return spark.read.schema(DOCUMENTS_SPANS_SCHEMA).parquet(*files)
+        if files is None:
+            # never silently degrade an explicit pin to the live
+            # mutable directory (matches iceberg.read_snapshot)
+            raise ValueError(
+                f"unknown snapshot {snapshot_id!r} for {path}: no manifest "
+                "under _snapshots/ — refusing the unpinned fallback"
+            )
+        return spark.read.schema(DOCUMENTS_SPANS_SCHEMA).parquet(*files)
     return spark.read.schema(DOCUMENTS_SPANS_SCHEMA).parquet(path)
 
 

@@ -32,6 +32,30 @@ from intent_classifier_service_spark.sources import tables  # noqa: E402
 from intent_classifier_service_spark.streaming.checkpoint import CheckpointStore  # noqa: E402
 
 
+def _check_violations_layout(path: str) -> None:
+    """Refuse to resume into a violations dir written by the old
+    single-level layout (partition_by=('rule_id',) — parquet files
+    directly under rule_id=*/). Dynamic overwrite on the new
+    ('rule_id','part_key') layout would replace NONE of the old files,
+    leaving stale and fresh rows mixed for hive-partitioned readers.
+    Failing loudly beats silent duplication; a full (non-resume) run
+    into the same --output rewrites the dir cleanly."""
+    import glob as _glob
+    legacy = [
+        f for f in _glob.glob(os.path.join(path, "rule_id=*", "*.parquet"))
+        if os.path.isfile(f)
+    ]
+    if legacy:
+        raise RuntimeError(
+            f"--resume into {path}: found {len(legacy)} parquet file(s) "
+            "directly under rule_id=*/ (old single-level partition "
+            "layout). Dynamic overwrite with the current "
+            "(rule_id, part_key) layout would leave stale rows mixed "
+            "with new ones. Rerun without --resume (full rewrite) or "
+            "delete the old violations dir first."
+        )
+
+
 def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = None,
         resume: bool = False, rules: R.RuleSet | None = None,
         baseline: str | None = None, snapshot_id: str = "parquet-v0") -> dict:
@@ -82,6 +106,8 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     # partition's rows are identical to what a from-scratch run writes,
     # and the on-disk union stays the complete artifact).
     resuming = store is not None and resume
+    if resuming:
+        _check_violations_layout(os.path.join(output, "violations"))
     # Uniqueness is global (duplicate doc_ids span partitions), so a
     # resumed run scans the FULL table for it — same reasoning as drift
     # below; the extra scan reads only the doc_id column.

@@ -71,3 +71,24 @@ def test_validate_job_end_to_end_and_resume(spark, tmp_path):
         .agg(F.sum("n")).collect()[0][0]
     )
     assert total_ckpt_docs == 1500
+
+
+def test_resume_refuses_legacy_violations_layout(tmp_path):
+    """A violations dir from the old partition_by=('rule_id',) layout
+    (parquet files directly under rule_id=*/) must make --resume fail
+    loudly: dynamic overwrite under the new (rule_id, part_key) layout
+    would leave stale files mixed with fresh partition dirs."""
+    import pytest
+
+    viol = tmp_path / "out" / "violations" / "rule_id=R-SPAN-KIND"
+    viol.mkdir(parents=True)
+    (viol / "part-00000.parquet").write_bytes(b"PAR1")
+    with pytest.raises(RuntimeError, match="single-level partition layout"):
+        validate._check_violations_layout(str(tmp_path / "out" / "violations"))
+    # new layout (files nested under part_key=*/) passes
+    new = tmp_path / "out2" / "violations" / "rule_id=R-SPAN-KIND" / "part_key=3"
+    new.mkdir(parents=True)
+    (new / "part-00000.parquet").write_bytes(b"PAR1")
+    validate._check_violations_layout(str(tmp_path / "out2" / "violations"))
+    # absent dir (fresh output) passes
+    validate._check_violations_layout(str(tmp_path / "nope"))

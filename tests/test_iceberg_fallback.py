@@ -44,5 +44,43 @@ def test_manifest_snapshot_pinning(spark, tmp_path):
     assert sid2 != sid
     assert iceberg.read_snapshot(spark, p, sid2).count() == 80
     assert iceberg.write_snapshot_manifest(p) == sid2
-    # unknown snapshot id → live-directory fallback, not an error
-    assert iceberg.read_snapshot(spark, p, "deadbeef").count() == 80
+    # an EXPLICIT unknown snapshot id must RAISE (matching Iceberg's
+    # VERSION AS OF), never silently read the live mutable directory
+    import pytest
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        iceberg.read_snapshot(spark, p, "deadbeef")
+    with pytest.raises(ValueError, match="unknown snapshot"):
+        tables.read_documents_spans(spark, p, snapshot_id="deadbeef")
+
+
+def test_manifest_detects_inplace_rewrite(spark, tmp_path):
+    """A data file rewritten IN PLACE (same name, different bytes) must
+    fail a pinned read: the manifest stores per-file (size, mtime_ns)
+    and verifies them, so a 'pinned' snapshot can never silently serve
+    changed content."""
+    import glob
+    import os
+
+    import pytest
+
+    from intent_classifier_service_spark import datagen
+
+    p = str(tmp_path / "docs")
+    datagen.documents_spans(spark, 20).write.parquet(p)
+    sid = iceberg.write_snapshot_manifest(p)
+    assert iceberg.read_snapshot(spark, p, sid).count() == 20
+
+    victim = sorted(glob.glob(os.path.join(p, "*.parquet")))[0]
+    data = open(victim, "rb").read()
+    with open(victim, "wb") as f:          # same name, same bytes + pad
+        f.write(data + b"\x00")
+    os.utime(victim, ns=(os.stat(victim).st_atime_ns,
+                         os.stat(victim).st_mtime_ns + 1))
+    with pytest.raises(ValueError, match="rewritten in place"):
+        iceberg.manifest_files(p, sid)
+    # deleted pinned file → loud failure too
+    with open(victim, "wb") as f:
+        f.write(data)                       # restore size…
+    os.remove(victim)
+    with pytest.raises(FileNotFoundError):
+        iceberg.manifest_files(p, sid)
