@@ -1267,6 +1267,94 @@ SELECT id_a, id_b, CAST(0 AS INTEGER) AS hamming FROM prefix_pairs
 """
 
 
+def _neardup_pair_graph(spark, sf_dir):
+    """The near-dup pair graph the cluster-resolution queries resolve:
+    REAL MinHash+LSH pairs on the prefix corpus (cliques of identical
+    prefixes — oracled by prefix equality, same equivalence as
+    q_minhash_lsh_pairs) unioned with a planted TRANSITIVE CHAIN
+    structure: edges (d, d+1) for d % 10 < 4 chain docs {10k..10k+4}
+    together even though e.g. 10k and 10k+3 share no edge — exactly
+    the A~B, B~C ⇒ one cluster case pair lists can't answer."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias("text"),
+    )
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.9).select("id_a", "id_b")
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    chain = (
+        d.filter(F.col("doc_id") % 10 < 4)
+        .select(F.col("doc_id").alias("id_a"), (F.col("doc_id") + 1).alias("id_b"))
+        .join(d.withColumnRenamed("doc_id", "id_b"), "id_b", "left_semi")
+    )
+    return lsh.unionByName(chain)
+
+
+def q_neardup_clusters(spark, sf_dir):
+    """Near-dup cluster resolution (round-3 verdict #1): connected
+    components over the pair graph via hash-min label propagation
+    (operators/dedup.neardup_clusters), projected as one row per
+    cluster with the deterministic min-id survivor as cluster_id and
+    the sorted member list. Oracle: DuckDB recursive CTE computing the
+    same transitive closure over the same edge construction."""
+    cl = dedup.neardup_clusters(_neardup_pair_graph(spark, sf_dir))
+    return cl.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("id")),
+                        lambda x: x.cast("string")), ","
+        ).alias("members"),
+    )
+
+
+_NEARDUP_GRAPH_CTE = """
+WITH RECURSIVE pref AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(array_to_string(string_split(text, ' ')[1:8], ' '))), '\\s+', ' ', 'g') AS k
+  FROM documents
+), pp AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM pref a JOIN pref b ON a.k = b.k AND a.doc_id < b.doc_id
+), chain AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+  WHERE a.doc_id % 10 < 4
+), edges AS (
+  SELECT id_a, id_b FROM pp UNION SELECT id_a, id_b FROM chain
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION ALL
+  SELECT id_b, id_a FROM edges
+), reach AS (
+  SELECT src AS id, src AS label FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+)
+"""
+
+SQL_NEARDUP_CLUSTERS = _NEARDUP_GRAPH_CTE + """
+SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+       list_aggr(list_transform(list_sort(list(id)), x -> CAST(x AS VARCHAR)), 'string_agg', ',') AS members
+FROM comp GROUP BY cluster_id
+"""
+
+
+def q_neardup_dedup(spark, sf_dir):
+    """The dedup DECISION applied to the corpus: every doc survives
+    except non-survivor members of near-dup clusters (one kept row —
+    the min doc_id — per connected component). This is the filtered-
+    corpus output a training-data pipeline feeds downstream."""
+    full = _t(spark, sf_dir, "documents").select("doc_id")
+    return dedup.neardup_dedup(full, _neardup_pair_graph(spark, sf_dir))
+
+
+SQL_NEARDUP_DEDUP = _NEARDUP_GRAPH_CTE + """
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
     return sampling.stratified_sample(ev, "event_type", 100, order_col="event_id")
@@ -1733,6 +1821,8 @@ QUERIES = {
     "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
     "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH),
+    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "neardup_dedup": (q_neardup_dedup, SQL_NEARDUP_DEDUP),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "text_profile": (q_text_profile, SQL_TEXT_PROFILE),

@@ -286,6 +286,99 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# -------------------------------------------------- cluster resolution
+
+def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One hash-min round: deliver every neighbor's label over the
+    symmetric edge list (equi-join on src), take the per-vertex min,
+    and fold it into the current label. Exposed separately so the plan
+    gate can assert the round is equi-join-only (no CartesianProduct) —
+    the loop's localCheckpoint truncation hides it from the final
+    DataFrame's plan."""
+    nbr = (
+        edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.min("label").alias("nbr_min"))
+    )
+    return labels.join(nbr, "id", "left").select(
+        "id", "label",
+        F.least("label", "nbr_min").alias("new_label"),  # least skips nulls
+    )
+
+
+def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                     max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-duplicate pair graph:
+    (id, cluster_id) for every id appearing in ``pairs``, where
+    cluster_id is the MINIMUM id reachable through the pair relation —
+    so A~B, B~C places all of {A,B,C} in cluster min(A,B,C) even though
+    A and C were never paired directly. The deterministic survivor of
+    each cluster is its cluster_id (min id — same convention as
+    exact_duplicates.keep_id; reference analog: the keep='first'
+    semantics of drop_duplicates, gpt_intent_classifier.py:782,
+    generalized from equality groups to the similarity graph).
+
+    Algorithm: hash-min label propagation — every vertex starts
+    labelled with itself; each round, every vertex takes the min of its
+    own label and its neighbors' labels; converged when no label
+    changes. Everything is equi-joins + groupBy.min (plan-gated against
+    CartesianProduct in tests/test_physical_plans.py): per round, one
+    shuffle to deliver neighbor labels and one to re-key — both on
+    uniform id keys. Rounds needed = graph diameter; near-dup graphs
+    are cliques (diameter 1) and short chains, so convergence is fast;
+    a graph still unconverged after ``max_iter`` raises rather than
+    returning silently-wrong clusters.
+
+    Scale notes (100 TB): the vertex set is only the DUPLICATE
+    CANDIDATES (ids in pairs), a small fraction of the corpus. Labels
+    are localCheckpoint()ed each round — without truncation the lazy
+    plan doubles per iteration and Catalyst analysis blows up long
+    before data does. On a real cluster prefer
+    ``spark.sparkContext.setCheckpointDir`` + ``.checkpoint()`` (HDFS-
+    backed, survives executor loss); localCheckpoint is the right call
+    in local mode and keeps this function side-effect free.
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    edges = sym.persist()  # re-joined every round; tiny vs corpus
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            stepped = _propagate_round(edges, labels).localCheckpoint()
+            changed = stepped.filter(F.col("new_label") < F.col("label")).count()
+            labels = stepped.select("id", F.col("new_label").alias("label"))
+            if changed == 0:
+                return labels.select("id", F.col("label").alias("cluster_id"))
+        raise RuntimeError(
+            f"neardup_clusters: not converged after {max_iter} rounds — "
+            "the pair graph has a path longer than max_iter; raise it "
+            "(each round covers one more hop of graph diameter)"
+        )
+    finally:
+        edges.unpersist()
+
+
+def neardup_dedup(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  id_a: str = "id_a", id_b: str = "id_b",
+                  max_iter: int = 20) -> DataFrame:
+    """The dedup DECISION applied: one surviving row (min id) per
+    connected component of the pair graph, all of ``docs``' columns
+    preserved, non-candidates untouched. A~B, B~C ⇒ exactly one of
+    {A,B,C} survives. The anti-join side is the loser set (duplicate
+    candidates minus survivors) — far smaller than the corpus, so AQE
+    broadcasts it when it fits."""
+    clusters = neardup_clusters(pairs, id_a, id_b, max_iter)
+    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 # ------------------------------------------------------------------ simhash
 
 def simhash64(docs: DataFrame, id_col: str = "doc_id",

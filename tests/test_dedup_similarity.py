@@ -127,3 +127,58 @@ def test_null_text_docs_never_pair(spark):
     assert mh == {(3, 4)}
     sh = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_pairs(docs, max_hamming=3).collect()}
     assert sh == {(3, 4)}
+
+
+# ----------------------------------------------- cluster resolution
+
+def test_neardup_clusters_transitive_chain(spark):
+    """A~B, B~C (no A~C edge) must land all three in ONE cluster with
+    the min id as survivor — the property a pair list cannot express."""
+    pairs = spark.createDataFrame(
+        [(7, 3), (3, 9), (20, 21)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.neardup_clusters(pairs).collect()}
+    assert got == {3: 3, 7: 3, 9: 3, 20: 20, 21: 20}
+
+
+def test_neardup_dedup_one_survivor_per_component(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        # component {1,2,3} via chain, component {5,6}, singletons 0,4,7,8,9
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = sorted(r["doc_id"] for r in dedup.neardup_dedup(docs, pairs).collect())
+    assert out == [0, 1, 4, 5, 7, 8, 9]  # kept min of each component
+    # all original columns preserved
+    assert dedup.neardup_dedup(docs, pairs).columns == ["doc_id", "text"]
+
+
+def test_neardup_clusters_long_path_converges(spark):
+    """A 12-hop path needs ~12 propagation rounds — converges under the
+    default budget, raises loudly when the budget is too small (never
+    returns silently-wrong clusters)."""
+    import pytest
+
+    chain = [(i, i + 1) for i in range(12)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    got = dedup.neardup_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {0}
+    assert len(got) == 13
+    with pytest.raises(RuntimeError, match="not converged"):
+        dedup.neardup_clusters(pairs, max_iter=3)
+
+
+def test_neardup_dedup_composes_with_minhash(spark):
+    """End-to-end: MinHash+LSH pair generation feeding the cluster
+    resolver — three mutually-near docs collapse to one survivor."""
+    rows = [(i, f"totally unrelated document number {i} with its own words "
+                f"alpha{i} beta{i} gamma{i} delta{i}") for i in range(10, 16)]
+    near = "the quick brown fox jumps over the lazy dog again and again"
+    rows += [(1, near), (2, near), (3, near)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9).select("id_a", "id_b")
+    out = sorted(r["doc_id"] for r in dedup.neardup_dedup(docs, pairs).collect())
+    assert out == [1, 10, 11, 12, 13, 14, 15]

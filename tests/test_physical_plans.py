@@ -114,6 +114,29 @@ def test_pair_generators_never_cartesian(spark):
     assert "LeftSemi" in p
 
 
+def test_cluster_resolution_equi_joins_only(spark):
+    """Hash-min label propagation must be equi-joins + groupBy.min:
+    gate one propagation round (the loop's localCheckpoint truncation
+    hides it from the final plan) and the dedup anti-join."""
+    from pyspark.sql import functions as F
+
+    from intent_classifier_service_spark.operators import dedup
+
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn(
+        "label", F.col("id")
+    )
+    p = _plan(dedup._propagate_round(edges, labels))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+    docs = spark.createDataFrame([(i, "t") for i in range(5)],
+                                 "doc_id long, text string")
+    p = _plan(dedup.neardup_dedup(docs, pairs))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "LeftAnti" in p
+
+
 def test_text_normalize_is_shuffle_free(spark):
     """F3/F13 normalization is a pure scan→project pass: zero
     Exchange, zero Python."""
