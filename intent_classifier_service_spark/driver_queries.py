@@ -1340,6 +1340,43 @@ FROM comp GROUP BY cluster_id
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (round-3 verdict #3): the 'benchmark'
+    is the deterministic eval draw doc_id % 20 == 0; any corpus doc
+    sharing an 8-word shingle with it is flagged (benchmark members
+    self-flag — correct: a doc that IS in the eval set must leave the
+    training corpus too). n=8 matches the corpus' planted identical
+    prefixes, so CROSS-doc contamination fires (verified non-zero at
+    sf0.01: 27 flagged of which 2 are non-benchmark docs). Oracle:
+    full n-gram membership computation in DuckDB (string equality; the
+    engine's xxhash64 join is collision-free at these set sizes)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    return dedup.contaminated_docs(docs, bench, n=8)
+
+
+SQL_DECONTAMINATE = """
+WITH toks AS (
+  SELECT doc_id,
+         regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(t) - 7 <= 0 THEN [array_to_string(t, ' ')]
+              ELSE list_distinct([array_to_string(t[i:i+7], ' ') FOR i IN generate_series(1, len(t) - 7)])
+         END AS shl
+  FROM toks
+), ex AS (
+  SELECT doc_id, unnest(shl) AS s FROM sh
+), bench AS (
+  SELECT DISTINCT s FROM ex WHERE doc_id % 20 = 0
+)
+SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_hits, min(e.s) AS sample_shingle
+FROM ex e JOIN bench b ON e.s = b.s
+GROUP BY e.doc_id
+"""
+
+
 def q_neardup_dedup(spark, sf_dir):
     """The dedup DECISION applied to the corpus: every doc survives
     except non-survivor members of near-dup clusters (one kept row —
@@ -1823,6 +1860,7 @@ QUERIES = {
     "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
     "neardup_dedup": (q_neardup_dedup, SQL_NEARDUP_DEDUP),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "text_profile": (q_text_profile, SQL_TEXT_PROFILE),

@@ -286,6 +286,43 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# -------------------------------------------------- decontamination
+
+def contaminated_docs(docs: DataFrame, benchmark: DataFrame, n: int = 13,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      bench_text_col: str = "text") -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing at least one word
+    n-gram with an eval/benchmark set → (id, n_hits, sample_shingle),
+    violation-row shape (n_hits = number of DISTINCT contaminated
+    shingles in the doc; sample_shingle = the lexicographically first,
+    for triage). The standard LLM-training-data hygiene pass (n≈13 in
+    published pipelines); docs it flags must be dropped or the eval is
+    compromised.
+
+    Scale shape: benchmark sets are tiny relative to a 100 TB corpus,
+    so the DISTINCT benchmark shingle-hash set (8 bytes per shingle) is
+    broadcast — the corpus side never shuffles its exploded shingles;
+    the only shuffle is the groupBy over HIT rows, which are rare by
+    construction (contamination is the exception). Shingle hashing is
+    JVM-side xxhash64; texts never leave the scan."""
+    corpus = docs.select(
+        F.col(id_col), F.explode(shingles(text_col, n)).alias("s")
+    ).withColumn("sh", F.xxhash64("s"))
+    bench = (
+        benchmark.select(F.explode(shingles(bench_text_col, n)).alias("s"))
+        .select(F.xxhash64("s").alias("sh"))
+        .distinct()
+    )
+    return (
+        corpus.join(F.broadcast(bench), "sh")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.min("s").alias("sample_shingle"),
+        )
+    )
+
+
 # -------------------------------------------------- cluster resolution
 
 def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:

@@ -182,3 +182,40 @@ def test_neardup_dedup_composes_with_minhash(spark):
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.9).select("id_a", "id_b")
     out = sorted(r["doc_id"] for r in dedup.neardup_dedup(docs, pairs).collect())
     assert out == [1, 10, 11, 12, 13, 14, 15]
+
+
+# ----------------------------------------------- decontamination
+
+def test_contaminated_docs_flags_planted_benchmark(spark):
+    """A corpus doc embedding a benchmark question verbatim is flagged;
+    clean docs are not; the benchmark set rides in as a broadcast."""
+    bench = spark.createDataFrame(
+        [(100, "what is the capital city of france in europe"),
+         (101, "how many legs does a healthy adult spider have")],
+        "bench_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [(1, "intro text what is the capital city of france in europe outro words"),
+         (2, "a perfectly clean training document about something else entirely"),
+         (3, "how many legs does a healthy adult spider have is a classic question"),
+         (4, "capital city of france is mentioned but the full five gram is absent")],
+        "doc_id long, text string",
+    )
+    out = dedup.contaminated_docs(corpus, bench, n=8)
+    got = {r["doc_id"]: r["n_hits"] for r in out.collect()}
+    assert set(got) == {1, 3}
+    assert all(v >= 1 for v in got.values())
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_contaminated_docs_short_doc_whole_text_shingle(spark):
+    """Docs shorter than n words fall back to a whole-text shingle, so
+    an exact short benchmark string still matches."""
+    bench = spark.createDataFrame([(1, "tiny eval prompt")], "i long, text string")
+    corpus = spark.createDataFrame(
+        [(1, "tiny eval prompt"), (2, "tiny eval other")],
+        "doc_id long, text string",
+    )
+    got = [r["doc_id"] for r in dedup.contaminated_docs(corpus, bench, n=8).collect()]
+    assert got == [1]
