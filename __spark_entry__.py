@@ -6,8 +6,9 @@ entry(spark)  — flagship: full span-rule verdicts over spans derived
 queries()     — one entry per implemented operator family
                 (SURVEY.md §2); see intent_classifier_service_spark/
                 driver_queries.py for the implementations.
-oracle_sql()  — DuckDB-equivalent SQL per query (omitted for
-                non-SQL-expressible ops: seeded minhash/LSH, UDF stubs).
+oracle_sql()  — DuckDB-equivalent SQL per query. Every registered
+                query carries an oracle (seeded-ANN queries via the
+                exact planted-duplicate top-1 invariant).
 """
 
 from __future__ import annotations

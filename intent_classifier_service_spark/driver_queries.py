@@ -1425,22 +1425,58 @@ SELECT event_id, event_type FROM topup
 """
 
 
-def q_lsh_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+def _planted_ann_setup(spark, sf_dir):
+    """Corpus + queries for the planted-duplicate ANN invariant (same
+    construction that oracled ivf_topk_indexed): each query vector is
+    an exact copy of corpus vec_id v (query_id = v+100000, also planted
+    into the corpus), so its top-1 must be the duplicate PAIR {v,
+    v+100000}: both share every LSH bucket / IVF cell with the query
+    by construction (recall-1 for the top-1 regardless of the seeded
+    candidate sets), and no other vector approaches cosine 1.0. The
+    projection maps vec_id % 100000 so either member of the pair
+    canonicalizes to v — the JVM can score the two union branches a
+    single ULP apart (different codegen paths), which makes the
+    asc-vec_id tie-break between the pair itself nondeterministic,
+    while the pair-vs-rest gap (~0.6) is untouched."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
     qs = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < 2).collect()
+        (int(r["vec_id"]) + 100000, [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
     ]
-    return similarity.lsh_topk(emb, qs, k=10).select("query_id", "vec_id", "rank")
+    return corpus, qs
+
+
+def q_lsh_topk(spark, sf_dir):
+    """LSH ANN through the driver contract, projected to the exact
+    planted-duplicate top-1 rows (see _planted_ann_setup; ranks 2..k
+    are approximate-by-design — recall ≥0.8 pinned in
+    tests/test_ann_recall.py). Round-3 verdict #5: this projection IS
+    deterministic and SQL-checkable, so no more rows-only entry."""
+    corpus, qs = _planted_ann_setup(spark, sf_dir)
+    out = similarity.lsh_topk(corpus, qs, k=10)
+    return out.filter(F.col("rank") == 1).select(
+        "query_id", (F.col("vec_id") % 100000).alias("vec_id"), "rank"
+    )
+
+
+SQL_ANN_PLANTED_TOP1 = """
+SELECT vec_id + 100000 AS query_id, vec_id, CAST(1 AS INTEGER) AS rank
+FROM embeddings WHERE vec_id < 8
+"""
 
 
 def q_ivf_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    qs = [
-        (int(r["vec_id"]), [float(x) for x in r["embedding"]])
-        for r in emb.filter(F.col("vec_id") < 2).collect()
-    ]
-    return similarity.ivf_topk(emb, qs, k=10).select("query_id", "vec_id", "rank")
+    """IVF ANN through the driver contract, planted-duplicate top-1
+    projection (see q_lsh_topk)."""
+    corpus, qs = _planted_ann_setup(spark, sf_dir)
+    out = similarity.ivf_topk(corpus, qs, k=10)
+    return out.filter(F.col("rank") == 1).select(
+        "query_id", (F.col("vec_id") % 100000).alias("vec_id"), "rank"
+    )
 
 
 def q_embedding_neardup_lsh(spark, sf_dir):
@@ -1877,11 +1913,9 @@ QUERIES = {
     # text-profile drift rules (the validate job gates on these)
     "drift_psi_lang": (q_drift_psi_lang, SQL_DRIFT_PSI_LANG),
     "drift_ks_quality": (q_drift_ks_quality, SQL_DRIFT_KS_QUALITY),
-    # rows-only — genuinely non-SQL-expressible:
-    #   lsh_topk / ivf_topk: approximate-by-design candidate sets from
-    #     seeded numpy hyperplanes/centroids (recall pinned ≥0.8 in
-    #     tests/test_ann_recall.py against the exact oracle; row count
-    #     pinned to n_queries×k by the guaranteed-k fallback).
-    "lsh_topk": (q_lsh_topk, None),
-    "ivf_topk": (q_ivf_topk, None),
+    # seeded-ANN queries, oracled via the exact planted-duplicate top-1
+    # invariant (full top-k recall ≥0.8 stays pinned in
+    # tests/test_ann_recall.py — ranks 2..k are approximate by design)
+    "lsh_topk": (q_lsh_topk, SQL_ANN_PLANTED_TOP1),
+    "ivf_topk": (q_ivf_topk, SQL_ANN_PLANTED_TOP1),
 }
