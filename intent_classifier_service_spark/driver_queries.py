@@ -1066,6 +1066,157 @@ GROUP BY c_name, c_custkey, o_orderkey, o_totalprice
 """
 
 
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join with a join-side predicate
+    (customers keep their row even with zero qualifying orders) feeding
+    a two-level count distribution — the engine's only outer-join
+    aggregation (round-3 verdict #6). The testdata lacks o_comment, so
+    the qualifying predicate is o_orderpriority <> '1-URGENT' (same
+    join-side-filter shape). count(o_orderkey) skips nulls, so
+    no-order customers land in the c_count=0 bucket — the semantics
+    the outer join exists for."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_tpch_q17(spark, sf_dir):
+    """TPC-H Q17 shape: correlated scalar-aggregate subquery — each
+    lineitem compares against 0.2 × the per-part average quantity —
+    expressed Spark-first as an aggregate joined back on the
+    correlation key (no p_container in the testdata; the brand filter
+    alone plays the part-pruning role). The per-part average is
+    computed AFTER the semi-restriction to the brand's parts: at scale
+    that aggregates ~1/|brands| of the fact table instead of all of it,
+    and it equals the correlated form exactly (the subquery only
+    correlates to parts that survive the filter). l_quantity values
+    are integer-valued doubles (sum exact in any order), so the
+    threshold avg is deterministic; the revenue sum uses exact
+    decimals with one final division."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13") \
+        .select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey")) \
+        .drop("p_partkey")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thresh")
+    )
+    j = li.join(thresh, "l_partkey").filter(F.col("l_quantity") < F.col("qty_thresh"))
+    total = F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+    return j.agg(
+        F.round((total.cast("double") / F.lit(7.0)), 6).alias("avg_yearly")
+    )
+
+
+SQL_TPCH_Q17 = """
+WITH li AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#13'
+), th AS (
+  SELECT l_partkey, 0.2 * avg(l_quantity) AS qty_thresh FROM li GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM li JOIN th USING (l_partkey)
+WHERE l_quantity < qty_thresh
+"""
+
+
+def q_tpch_q21(spark, sf_dir):
+    """TPC-H Q21 shape: chained SEMI + ANTI join on the SAME fact table
+    (round-3 verdict #6) — suppliers in one nation who were the SOLE
+    late supplier of a multi-supplier finished order. 'Late' is
+    l_returnflag = 'R' (the testdata has no receipt/commit dates; the
+    predicate role is identical). The EXISTS becomes a left_semi with
+    an equi key + non-equi residual (other supplier, same order), the
+    NOT EXISTS a left_anti with the same shape — both hash joins on
+    l_orderkey, never cartesian."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    late = li.filter(F.col("l_returnflag") == "R").drop("l_returnflag")
+    fo = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F") \
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7") \
+        .select("n_nationkey")
+    s = _t(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey", "s_name")
+    base = (
+        late.join(fo, "l_orderkey", "left_semi")
+        .join(s, late.l_suppkey == s.s_suppkey)
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("o_ok"), F.col("l_suppkey").alias("o_sk")
+    )
+    base = base.join(
+        others,
+        (base.l_orderkey == others.o_ok) & (base.l_suppkey != others.o_sk),
+        "left_semi",
+    ).join(
+        late_others,
+        (base.l_orderkey == late_others.o_ok)
+        & (base.l_suppkey != late_others.o_sk),
+        "left_anti",
+    )
+    return (
+        base.groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q21 = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1
+JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+JOIN supplier ON s_suppkey = l1.l_suppkey
+JOIN nation ON n_nationkey = s_nationkey AND n_name = 'NATION_7'
+WHERE l1.l_returnflag = 'R'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_returnflag = 'R'
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 100
+"""
+
+
 def q_json_props_stats(spark, sf_dir):
     """Semi-structured projection: extract a typed field from the JSON
     ``props`` column (JVM-side get_json_object — no Python, no schema
@@ -1885,6 +2036,9 @@ QUERIES = {
     "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),

@@ -137,6 +137,24 @@ def test_cluster_resolution_equi_joins_only(spark):
     assert "LeftAnti" in p
 
 
+def test_q21_semi_anti_are_hash_joins(spark):
+    """The EXISTS/NOT EXISTS pair must compile to LeftSemi/LeftAnti
+    HASH joins on the l_orderkey equi key with the supplier inequality
+    as a residual condition — a BroadcastNestedLoopJoin (what a
+    non-equi-only condition produces) is the scale killer."""
+    p = _plan(DQ.q_tpch_q21(spark, SF))
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_q13_outer_join_keeps_zero_order_customers(spark):
+    p = _plan(DQ.q_tpch_q13(spark, SF))
+    assert "LeftOuter" in p
+    assert "CartesianProduct" not in p
+    rows = {r["c_count"]: r["custdist"] for r in DQ.q_tpch_q13(spark, SF).collect()}
+    assert 0 in rows  # customers with no qualifying orders survive
+
+
 def test_text_normalize_is_shuffle_free(spark):
     """F3/F13 normalization is a pure scan→project pass: zero
     Exchange, zero Python."""
