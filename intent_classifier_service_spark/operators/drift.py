@@ -184,6 +184,88 @@ def drift_profile(docs: DataFrame, lo: int, hi: int,
     return kind_df, off_df
 
 
+def partitioned_profile_counts(docs: DataFrame, lo: int = 0, hi: int = 128,
+                               n_bins: int = 32,
+                               by: tuple[str, ...] = ("part_key",)) -> DataFrame:
+    """Per-partition drift histogram COUNTS — (part_key, dist, bucket,
+    n) with dist ∈ {span_kind, offset_hist, lang_freq, quality_hist} —
+    from ONE grouping-sets scan (same construction as the fused pass:
+    per-doc text metrics pre-explode, span counts on span rows, doc
+    counts on doc rows, null buckets excluded). Counts are additive
+    across partitions, so summing any subset's rows with stored rows
+    for the complement reproduces the full-table distributions exactly
+    — the incremental-resume primitive for the global drift rules."""
+    from .textstats import lang_id
+
+    gb = list(by)
+    base = docs.select(*gb, "spans", doc_text().alias("_doc_text")).select(
+        *gb, "spans", lang_id("_doc_text").alias("_lang"),
+        quality_bucket("_doc_text", n_bins).alias("_qb"),
+    )
+    exploded = explode_spans(base, keep=(*gb, "_lang", "_qb"), outer=True)
+    b = exploded.withColumn("off_bucket", offset_bucket(lo, hi, n_bins))
+    span_checked = F.col("span_index").isNotNull()
+    is_doc_row = F.col("span_index").isNull() | (F.col("span_index") == 0)
+    gs = (
+        b.groupingSets(
+            [[*gb, "kind"], [*gb, "off_bucket"], [*gb, "_lang"], [*gb, "_qb"]],
+            *gb, "kind", "off_bucket", "_lang", "_qb",
+        )
+        .agg(
+            F.sum(span_checked.cast("long")).alias("_n_spans"),
+            F.sum(is_doc_row.cast("long")).alias("_n_docs"),
+            F.grouping_id(*gb, "kind", "off_bucket", "_lang", "_qb").alias("_gid"),
+        )
+    )
+    n_cols = len(gb) + 4
+    all_bits = (1 << n_cols) - 1
+    gbm = ((1 << len(gb)) - 1) << 4
+    gid_kind = all_bits ^ gbm ^ (1 << 3)
+    gid_off = all_bits ^ gbm ^ (1 << 2)
+    gid_lang = all_bits ^ gbm ^ (1 << 1)
+    gid_qb = all_bits ^ gbm ^ 1
+    g = F.col("_gid")
+    dist = (
+        F.when(g == gid_kind, F.lit("span_kind"))
+        .when(g == gid_off, F.lit("offset_hist"))
+        .when(g == gid_lang, F.lit("lang_freq"))
+        .when(g == gid_qb, F.lit("quality_hist"))
+    )
+    bucket = (
+        F.when(g == gid_kind, F.col("kind"))
+        .when(g == gid_off, F.col("off_bucket").cast("string"))
+        .when(g == gid_lang, F.col("_lang"))
+        .when(g == gid_qb, F.col("_qb").cast("string"))
+    )
+    n = F.when(g.isin(gid_kind, gid_off), F.col("_n_spans")).otherwise(F.col("_n_docs"))
+    return gs.select(
+        *gb, dist.alias("dist"), bucket.alias("bucket"), n.alias("n")
+    ).filter(F.col("dist").isNotNull() & F.col("bucket").isNotNull())
+
+
+def distributions_from_counts(spark, counts: DataFrame,
+                              ) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """(kind_freq, offset_hist, lang_freq, quality_hist) from merged
+    per-partition counts — identical normalization to drift_profile /
+    text_distributions (integer totals, one division), so merged-resume
+    and full-scan paths can never disagree."""
+    rows = counts.groupBy("dist", "bucket").agg(F.sum("n").alias("n")).collect()
+    byd: dict[str, list] = {}
+    for r in rows:
+        byd.setdefault(r["dist"], []).append((r["bucket"], r["n"]))
+    out = []
+    for dist, bucket_type in (("span_kind", "string"), ("offset_hist", "int"),
+                              ("lang_freq", "string"), ("quality_hist", "int")):
+        d = byd.get(dist, [])
+        tot = sum(c for _, c in d) or 1
+        if bucket_type == "int":
+            data = [(int(b), c / tot) for b, c in d]
+        else:
+            data = [(b, c / tot) for b, c in d]
+        out.append(spark.createDataFrame(data, f"bucket {bucket_type}, freq double"))
+    return tuple(out)
+
+
 def write_baseline(docs: DataFrame, path: str, lo: int = 0, hi: int = 128,
                    n_bins: int = 32, text: bool = True) -> None:
     """Freeze the current distributions as the drift baseline (one

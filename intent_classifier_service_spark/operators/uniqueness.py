@@ -43,9 +43,7 @@ def duplicate_doc_ids(docs: DataFrame, key: str = "doc_id", n_salts: int = 32) -
     )
 
 
-def uniqueness_violations(docs: DataFrame, key: str = "doc_id", n_salts: int = 32) -> DataFrame:
-    """Violation rows in the standard north-rule shape."""
-    dups = duplicate_doc_ids(docs, key, n_salts)
+def _emit_rows(dups: DataFrame, key: str = "doc_id") -> DataFrame:
     return dups.select(
         F.col(key).alias("doc_id"),
         F.lit("R-DOC-UNIQUE").alias("rule_id"),
@@ -53,3 +51,23 @@ def uniqueness_violations(docs: DataFrame, key: str = "doc_id", n_salts: int = 3
         F.format_string("n_occurrences=%d", F.col("n_occurrences")).alias("observed"),
         F.lit("doc_id unique").alias("expected"),
     )
+
+
+def uniqueness_violations(docs: DataFrame, key: str = "doc_id", n_salts: int = 32) -> DataFrame:
+    """Violation rows in the standard north-rule shape."""
+    return _emit_rows(duplicate_doc_ids(docs, key, n_salts), key)
+
+
+def violations_from_counts(counts: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Violation rows from pre-aggregated per-partition (doc_id, n)
+    occurrence counts — the incremental-resume path: counts for
+    completed partitions come from the checkpoint, counts for pending
+    partitions from this run's scan, and their sum over partitions
+    equals a full-table count exactly. Output is row-identical to
+    uniqueness_violations on the full table."""
+    dups = (
+        counts.groupBy(key)
+        .agg(F.sum("n").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 1)
+    )
+    return _emit_rows(dups, key)

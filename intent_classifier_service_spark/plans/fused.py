@@ -28,18 +28,25 @@ def fused_verdicts_and_drift(docs: DataFrame, rules: R.RuleSet | None = None,
                              lo: int = 0, hi: int = 128, n_bins: int = 32,
                              by: tuple[str, ...] = ("part_key",),
                              ) -> tuple[DataFrame, DataFrame, DataFrame,
-                                        DataFrame, DataFrame]:
+                                        DataFrame, DataFrame, DataFrame]:
     """Returns (vd_part, kind_freq, offset_hist, lang_freq,
-    quality_hist) from one scan.
+    quality_hist, profile_counts) from one scan.
 
     vd_part matches R.verdicts(docs, rules, by=by) exactly;
     kind_freq/offset_hist match drift.drift_profile(docs, lo, hi);
     lang_freq/quality_hist match drift.text_distributions(docs). The
     text metrics are computed per DOC before the explode (two tiny
     columns carried through it) and counted on doc rows only, so the
-    text-drift gate costs no extra pass. The grouping-sets result is
-    ≤ n_parts·n_rules + n_kinds + 2·n_bins + n_langs rows — collected
-    once, re-emitted as local DataFrames.
+    text-drift gate costs no extra pass.
+
+    The profile grouping sets carry the ``by`` columns, so the same
+    scan also yields PER-PARTITION histogram counts — profile_counts
+    (part, dist, bucket, n), matching drift.partitioned_profile_counts
+    — which checkpointed runs persist for merge-based incremental
+    resume of the global drift rules; the global distributions are the
+    column-wise sums (identical integers → identical normalized freqs).
+    The grouping-sets result is ≤ n_parts·(n_rules + n_kinds + 2·n_bins
+    + n_langs) rows — collected once, re-emitted as local DataFrames.
     """
     rules = rules or R.RuleSet()
     gb = list(by)
@@ -83,7 +90,8 @@ def fused_verdicts_and_drift(docs: DataFrame, rules: R.RuleSet | None = None,
 
     base = exploded.withColumn("off_bucket", off_bucket)
     gs = (
-        base.groupingSets([[*gb], ["kind"], ["off_bucket"], ["_lang"], ["_qb"]],
+        base.groupingSets([[*gb], [*gb, "kind"], [*gb, "off_bucket"],
+                           [*gb, "_lang"], [*gb, "_qb"]],
                           *gb, "kind", "off_bucket", "_lang", "_qb")
         .agg(*aggs,
              F.grouping_id(*gb, "kind", "off_bucket", "_lang", "_qb").alias("_gid"))
@@ -92,26 +100,47 @@ def fused_verdicts_and_drift(docs: DataFrame, rules: R.RuleSet | None = None,
 
     # grouping_id bit per column, MSB first: (by..., kind, off_bucket,
     # _lang, _qb). A set bit means the column is AGGREGATED (not part
-    # of the set) — each grouping set clears exactly its own bit.
+    # of the set) — every set keeps the by-cols (profile counts are
+    # per-partition now; global counts are their sums).
     n_cols = len(gb) + 4
     all_bits = (1 << n_cols) - 1
-    gid_part = all_bits ^ (((1 << len(gb)) - 1) << 4)  # by-cols grouped
-    gid_kind = all_bits ^ (1 << 3)
-    gid_off = all_bits ^ (1 << 2)
-    gid_lang = all_bits ^ (1 << 1)
-    gid_qb = all_bits ^ 1
+    gbm = ((1 << len(gb)) - 1) << 4
+    gid_part = all_bits ^ gbm
+    gid_kind = all_bits ^ gbm ^ (1 << 3)
+    gid_off = all_bits ^ gbm ^ (1 << 2)
+    gid_lang = all_bits ^ gbm ^ (1 << 1)
+    gid_qb = all_bits ^ gbm ^ 1
 
     part_rows = [r for r in gs if r["_gid"] == gid_part]
-    kind_rows = [(r["kind"], r["_n_spans"]) for r in gs
-                 if r["_gid"] == gid_kind and r["kind"] is not None]
-    off_rows = [(r["off_bucket"], r["_n_spans"]) for r in gs
-                if r["_gid"] == gid_off and r["off_bucket"] is not None]
+    pp_kind = [r for r in gs if r["_gid"] == gid_kind and r["kind"] is not None]
+    pp_off = [r for r in gs if r["_gid"] == gid_off and r["off_bucket"] is not None]
     # text metrics count DOC rows (the explode fans each doc's _lang/_qb
     # out over its spans; is_doc_row restores one-per-doc counting)
-    lang_rows = [(r["_lang"], r["_n_docs"]) for r in gs
-                 if r["_gid"] == gid_lang and r["_lang"] is not None]
-    qb_rows = [(r["_qb"], r["_n_docs"]) for r in gs
-               if r["_gid"] == gid_qb and r["_qb"] is not None]
+    pp_lang = [r for r in gs if r["_gid"] == gid_lang and r["_lang"] is not None]
+    pp_qb = [r for r in gs if r["_gid"] == gid_qb and r["_qb"] is not None]
+
+    def _sum_over_parts(rows, key, n_col):
+        acc: dict = {}
+        for r in rows:
+            acc[r[key]] = acc.get(r[key], 0) + r[n_col]
+        return sorted(acc.items())
+
+    kind_rows = _sum_over_parts(pp_kind, "kind", "_n_spans")
+    off_rows = _sum_over_parts(pp_off, "off_bucket", "_n_spans")
+    lang_rows = _sum_over_parts(pp_lang, "_lang", "_n_docs")
+    qb_rows = _sum_over_parts(pp_qb, "_qb", "_n_docs")
+
+    # per-partition profile counts (checkpointable incremental state)
+    count_rows = (
+        [(*[r[g] for g in gb], "span_kind", str(r["kind"]), r["_n_spans"])
+         for r in pp_kind]
+        + [(*[r[g] for g in gb], "offset_hist", str(r["off_bucket"]), r["_n_spans"])
+           for r in pp_off]
+        + [(*[r[g] for g in gb], "lang_freq", str(r["_lang"]), r["_n_docs"])
+           for r in pp_lang]
+        + [(*[r[g] for g in gb], "quality_hist", str(r["_qb"]), r["_n_docs"])
+           for r in pp_qb]
+    )
 
     # -- vd_part: same unpivot + rate/pass math as R.verdicts ----------
     vd_out = []
@@ -148,4 +177,10 @@ def fused_verdicts_and_drift(docs: DataFrame, rules: R.RuleSet | None = None,
     q_df = spark.createDataFrame(
         [(int(b), c / q_tot) for b, c in qb_rows], "bucket int, freq double"
     )
-    return vd_part, kind_df, off_df, lang_df, q_df
+    by_count_schema = ", ".join(
+        f"{g} {docs.schema[g].dataType.simpleString()}" for g in gb
+    )
+    counts_df = spark.createDataFrame(
+        count_rows, f"{by_count_schema}, dist string, bucket string, n long"
+    )
+    return vd_part, kind_df, off_df, lang_df, q_df, counts_df

@@ -242,7 +242,8 @@ def full_violations(docs: DataFrame, valid_refs: DataFrame | None = None,
                     rules: RuleSet | None = None,
                     keep: tuple[str, ...] = (),
                     n_salts: int = 32,
-                    uniqueness_from: DataFrame | None = None) -> DataFrame:
+                    uniqueness_from: DataFrame | None = None,
+                    uniqueness_rows: DataFrame | None = None) -> DataFrame:
     """The complete violation pass in TWO scans of the table instead of
     one per rule family:
 
@@ -262,7 +263,13 @@ def full_violations(docs: DataFrame, valid_refs: DataFrame | None = None,
     a GLOBAL rule (duplicate doc_ids span partitions), so a resumed run
     must point it at the FULL table while the per-partition rules cover
     only the pending subset — a subset scan would miss cross-partition
-    duplicates and silently under-report. Defaults to ``docs``."""
+    duplicates and silently under-report. Defaults to ``docs``.
+
+    ``uniqueness_rows`` overrides scan 2 entirely with pre-built
+    R-DOC-UNIQUE violation rows (shape: uniqueness_violations output) —
+    the incremental-resume path derives them from checkpointed
+    per-partition doc counts merged with the pending scan, so NO table
+    scan happens for uniqueness at all."""
     from ..operators.uniqueness import uniqueness_violations
 
     rules = rules or RuleSet()
@@ -289,9 +296,12 @@ def full_violations(docs: DataFrame, valid_refs: DataFrame | None = None,
             _emit(rules.doc_rules, docs, F.lit(None).cast("int"), keep_cols)
             .select(*out_cols)
         )
-    uniq = uniqueness_violations(
-        docs if uniqueness_from is None else uniqueness_from, n_salts=n_salts
-    )
+    if uniqueness_rows is not None:
+        uniq = uniqueness_rows
+    else:
+        uniq = uniqueness_violations(
+            docs if uniqueness_from is None else uniqueness_from, n_salts=n_salts
+        )
     if keep:
         dtypes = dict(docs.dtypes)
         for k in keep:

@@ -45,6 +45,18 @@ RULE_STATS_SCHEMA = (
     "rule_version string, run_id string, completed_at string"
 )
 
+# Incremental-resume state for the GLOBAL rules (round-3 verdict #4).
+# Stored per partition so a resumed run can MERGE completed partitions'
+# contributions instead of re-scanning the whole table:
+#   _profiles: drift histogram COUNTS (dist ∈ {span_kind, offset_hist,
+#              lang_freq, quality_hist}) — counts are additive, so the
+#              merged distribution equals a full-scan one exactly.
+#   _docids:   per-partition (doc_id, n) occurrence counts — global
+#              duplicates are sums over partitions; ~one narrow row per
+#              distinct doc per partition, far smaller than the table.
+PROFILE_SCHEMA = "part_key int, dist string, bucket string, n long"
+DOCID_SCHEMA = "part_key int, doc_id string, n long"
+
 
 class CheckpointStore:
     def __init__(self, spark: SparkSession, path: str, rule_version: str = "v1"):
@@ -153,6 +165,80 @@ class CheckpointStore:
             F.col("s.n_checked").alias("n_checked"),
             F.col("s.n_violations").alias("n_violations"),
         )
+
+    # -- incremental-resume state for the global rules -------------------
+    def _write_partitioned(self, df: DataFrame, suffix: str) -> None:
+        """Dynamic partition overwrite by part_key: a re-validated
+        partition REPLACES its stored state (an append would double-
+        count its rows in later merges)."""
+        (df.write.mode("overwrite")
+           .option("partitionOverwriteMode", "dynamic")
+           .partitionBy("part_key")
+           .parquet(self.path + suffix))
+
+    def _covered_keys(self, suffix: str) -> set[int]:
+        p = self.path + suffix
+        if not os.path.exists(p):
+            return set()
+        return {
+            r["part_key"]
+            for r in self.spark.read.parquet(p)
+            .select("part_key").distinct().collect()
+        }
+
+    def write_profiles(self, counts: DataFrame) -> None:
+        """counts: (part_key, dist, bucket, n) — per-partition drift
+        histogram counts for the partitions this run validated."""
+        self._write_partitioned(
+            counts.select(
+                F.col("part_key").cast("int"), "dist", "bucket",
+                F.col("n").cast("long"),
+            ),
+            "_profiles",
+        )
+
+    def stored_profiles(self, part_keys: list[int]) -> DataFrame:
+        schema_df = self.spark.createDataFrame([], PROFILE_SCHEMA)
+        if not part_keys or not os.path.exists(self.path + "_profiles"):
+            return schema_df
+        return (
+            self.spark.read.parquet(self.path + "_profiles")
+            .filter(F.col("part_key").isin([int(k) for k in part_keys]))
+            .select("part_key", "dist", "bucket", F.col("n").cast("long"))
+        )
+
+    def write_doc_counts(self, counts: DataFrame) -> None:
+        """counts: (part_key, doc_id, n) — per-partition doc_id
+        occurrence counts for the partitions this run validated. One
+        narrow (int, string) shuffle produced them (uniform key);
+        written once so no future resume ever re-scans those
+        partitions for uniqueness (~one dictionary-compressed row per
+        doc)."""
+        self._write_partitioned(
+            counts.select(F.col("part_key").cast("int"), "doc_id",
+                          F.col("n").cast("long")),
+            "_docids",
+        )
+
+    def stored_doc_counts(self, part_keys: list[int]) -> DataFrame:
+        schema_df = self.spark.createDataFrame([], DOCID_SCHEMA)
+        if not part_keys or not os.path.exists(self.path + "_docids"):
+            return schema_df
+        return (
+            self.spark.read.parquet(self.path + "_docids")
+            .filter(F.col("part_key").isin([int(k) for k in part_keys]))
+            .select("part_key", "doc_id", F.col("n").cast("long"))
+        )
+
+    def global_state_covers(self, part_keys: list[int]) -> bool:
+        """True iff BOTH incremental stores hold rows for every given
+        partition — the precondition for merge-based resume. Partitions
+        completed by pre-incremental checkpoints (or simulated test
+        checkpoints) fail this, and callers fall back to the
+        full-table-scan path."""
+        keys = set(int(k) for k in part_keys)
+        return keys <= self._covered_keys("_profiles") and \
+            keys <= self._covered_keys("_docids")
 
     def mark_done_bulk(self, stats: DataFrame, snapshot_id: str) -> None:
         """stats: (part_key, n_docs, n_violations) — one append for all

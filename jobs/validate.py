@@ -56,12 +56,20 @@ def _check_violations_layout(path: str) -> None:
         )
 
 
+def _doc_counts(docs):
+    """(part_key, doc_id, n) — the per-partition uniqueness state."""
+    return docs.groupBy(
+        F.col("part_key").cast("int").alias("part_key"), F.col("doc_id")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
 def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = None,
         resume: bool = False, rules: R.RuleSet | None = None,
         baseline: str | None = None, snapshot_id: str = "parquet-v0") -> dict:
     rules = rules or R.RuleSet()
     t0 = time.time()
-    docs_all = docs  # drift always sees the full table (see below)
+    docs_all = docs  # the legacy (non-incremental) resume path scans it
+    done_keys: list[int] = []
     if store is not None and resume:
         all_parts = docs.select("part_key").distinct()
         # SNAPSHOT the pending set to driver-side literals: a lazy
@@ -79,6 +87,10 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
                 all_parts, require_rule_stats=True
             ).collect()
         ]
+        done_keys = sorted(
+            {r["part_key"] for r in store.completed_partitions().collect()}
+            - set(pending_keys)
+        )
         docs = (
             docs.filter(F.col("part_key").isin(pending_keys))
             if pending_keys else docs.limit(0)
@@ -108,12 +120,39 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     resuming = store is not None and resume
     if resuming:
         _check_violations_layout(os.path.join(output, "violations"))
-    # Uniqueness is global (duplicate doc_ids span partitions), so a
-    # resumed run scans the FULL table for it — same reasoning as drift
-    # below; the extra scan reads only the doc_id column.
+    # Uniqueness and drift are GLOBAL rules (duplicate doc_ids and
+    # distribution mass span partitions). Resumed runs take one of two
+    # paths:
+    #   incremental — when the checkpoint holds per-partition doc
+    #     counts AND drift histogram counts for every completed
+    #     partition: merge stored state with this run's pending-only
+    #     state. NO scan of completed partitions happens at all (the
+    #     round-3 verdict's resume-cost fix).
+    #   legacy — checkpoints predating the incremental state (or
+    #     simulated ones) fall back to full-table scans of the narrow
+    #     projections, exactly as before.
+    incremental = resuming and store.global_state_covers(done_keys)
+    uniq_rows = None
+    pending_profiles = None
+    pending_doc_counts = None
+    if incremental:
+        if n_docs > 0:
+            # persisted: each feeds two actions (checkpoint write +
+            # merged-global computation); both frames are narrow
+            # (ids / histogram rows), spillable, unpersisted below.
+            pending_profiles = drift.partitioned_profile_counts(
+                docs, lo=0, hi=128
+            ).persist()
+            pending_doc_counts = _doc_counts(docs).persist()
+        merged_doc_counts = store.stored_doc_counts(done_keys)
+        if pending_doc_counts is not None:
+            merged_doc_counts = merged_doc_counts.unionByName(pending_doc_counts)
+        from intent_classifier_service_spark.operators import uniqueness as U
+        uniq_rows = U.violations_from_counts(merged_doc_counts)
     all_v = R.full_violations(
         docs, valid_refs, rules, keep=("part_key",),
-        uniqueness_from=docs_all if resuming else None,
+        uniqueness_from=docs_all if (resuming and not incremental) else None,
+        uniqueness_rows=uniq_rows,
     )
     tables.write_violations(all_v, os.path.join(output, "violations"),
                             partition_by=("rule_id", "part_key"),
@@ -131,8 +170,9 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     # table while verdicts cover only pending partitions.
     fused_profile = None
     fused_text = None
+    fused_counts = None
     if store is None or not resume:
-        vd_part, fused_kind, fused_off, fused_lang, fused_q = (
+        vd_part, fused_kind, fused_off, fused_lang, fused_q, fused_counts = (
             F_fused.fused_verdicts_and_drift(docs, rules, lo=0, hi=128)
         )
         fused_profile = (fused_kind, fused_off)
@@ -186,9 +226,22 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     if not os.path.exists(baseline_path):
         drift.write_baseline(docs_all, baseline_path)
     b_kind, b_off = drift.load_baseline(spark, baseline_path)
+    merged_text = None
     if fused_profile is not None:
         cur_kind, cur_off = fused_profile  # from the fused single scan
         drift_rows = drift.verdicts_from_profiles(cur_kind, cur_off, b_kind, b_off)
+    elif incremental:
+        # merge-based resume: stored per-partition histogram counts for
+        # completed partitions + this run's pending-only counts sum to
+        # EXACTLY the full-table counts — no scan of completed data.
+        merged_counts = store.stored_profiles(done_keys)
+        if pending_profiles is not None:
+            merged_counts = merged_counts.unionByName(pending_profiles)
+        m_kind, m_off, m_lang, m_q = drift.distributions_from_counts(
+            spark, merged_counts
+        )
+        merged_text = (m_lang, m_q)
+        drift_rows = drift.verdicts_from_profiles(m_kind, m_off, b_kind, b_off)
     else:
         drift_rows = drift.drift_verdicts(docs_all, b_kind, b_off, lo=0, hi=128)
 
@@ -200,10 +253,12 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     # distribution, like the span drift above).
     b_text = drift.load_text_baseline(spark, baseline_path)
     if b_text is not None:
-        cur_lang, cur_q = (
-            fused_text if fused_text is not None
-            else drift.text_distributions(docs_all)
-        )
+        if fused_text is not None:
+            cur_lang, cur_q = fused_text
+        elif merged_text is not None:
+            cur_lang, cur_q = merged_text  # from the same merged counts
+        else:
+            cur_lang, cur_q = drift.text_distributions(docs_all)
         drift_rows += drift.text_verdicts_from_profiles(
             cur_lang, cur_q, b_text[0], b_text[1]
         )
@@ -234,12 +289,34 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         # 'done' partition whose verdicts can never be reconstructed —
         # which pending_partitions(require_rule_stats=True) also guards
         # against for pre-existing checkpoints.
+        # Incremental global-rule state (drift histogram counts +
+        # doc_id occurrence counts) for the partitions THIS run
+        # validated — written before mark-done like the rule stats, so
+        # a crash in between leaves the partition pending, never
+        # 'done'-without-state. Fresh runs reuse the fused scan's
+        # per-partition counts (no extra pass); resumed runs write
+        # their pending-only state, so even a legacy-path resume
+        # builds coverage toward future merge-based resumes.
+        if fused_counts is not None:
+            store.write_profiles(fused_counts)
+            store.write_doc_counts(_doc_counts(docs))
+        elif n_docs > 0:
+            if pending_profiles is None:
+                pending_profiles = drift.partitioned_profile_counts(
+                    docs, lo=0, hi=128
+                )
+                pending_doc_counts = _doc_counts(docs)
+            store.write_profiles(pending_profiles)
+            store.write_doc_counts(pending_doc_counts)
         store.append_rule_stats(vd_part)
         store.mark_done_bulk(part_counts.join(part_viols, "part_key"),
                              snapshot_id=snapshot_id)
 
     if resuming:
         vd_part.unpersist()
+    for _df in (pending_profiles, pending_doc_counts):
+        if _df is not None and _df.is_cached:
+            _df.unpersist()
     docs.unpersist()
     wall = time.time() - t0
     return {

@@ -24,7 +24,7 @@ def test_fused_matches_separate_passes(spark):
     )
     rules = R.RuleSet()
 
-    vd_f, kind_f, off_f, lang_f, q_f = fused_verdicts_and_drift(
+    vd_f, kind_f, off_f, lang_f, q_f, counts_f = fused_verdicts_and_drift(
         docs, rules, lo=0, hi=128
     )
 
@@ -42,6 +42,20 @@ def test_fused_matches_separate_passes(spark):
     lang_sep, q_sep = drift.text_distributions(docs)
     assert _rows(lang_f) == _rows(lang_sep)
     assert _rows(q_f) == _rows(q_sep)
+
+    # the fused per-partition profile counts must equal the standalone
+    # incremental-resume pass (drift.partitioned_profile_counts) row
+    # for row — the invariant that makes merge-based resume exact
+    counts_sep = drift.partitioned_profile_counts(docs, lo=0, hi=128)
+    assert _rows(counts_f) == _rows(counts_sep)
+    # and summing them reproduces the global distributions exactly
+    m_kind, m_off, m_lang, m_q = drift.distributions_from_counts(
+        spark, counts_sep
+    )
+    assert _rows(m_kind) == _rows(kind_sep)
+    assert _rows(m_off) == _rows(off_sep)
+    assert _rows(m_lang) == _rows(lang_sep)
+    assert _rows(m_q) == _rows(q_sep)
 
 
 def test_fused_is_one_scan(spark):

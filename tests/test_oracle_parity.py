@@ -82,7 +82,9 @@ def test_entry_smoke(spark):
     assert set(df.columns) == {"rule_id", "n_checked", "n_violations", "violation_rate", "pass"}
 
 
-@pytest.mark.parametrize("name", sorted(set(entrypoint.queries()) - set(ORACLE_CASES)))
-def test_rows_only_queries_run(spark, name):
-    df = entrypoint.queries()[name](spark, SF_DIR)
-    assert df.count() >= 0
+def test_every_query_is_oracled():
+    """Round 4: zero rows-only queries remain — every queries() entry
+    carries a DuckDB oracle (the seeded-ANN pair via the planted-
+    duplicate top-1 invariant). A new query without an oracle fails
+    here instead of silently weakening the gate."""
+    assert set(entrypoint.queries()) == set(ORACLE_CASES)
