@@ -59,6 +59,75 @@ def run_available_now(spark: SparkSession, in_dir: str, out_dir: str,
     q.awaitTermination()
 
 
+def windowed_drift_psi(docs_stream: DataFrame, ts_col: str,
+                       baseline_kind: DataFrame,
+                       window: str = "10 minutes",
+                       watermark: str = "30 minutes",
+                       psi_threshold: float = 0.2) -> DataFrame:
+    """Per-event-time-window span-kind PSI against the FROZEN batch
+    baseline — the streaming analog of the batch drift gate
+    (operators/drift.psi), so a drifted micro-batch flips a window's
+    verdict the way a drifted corpus fails the batch job.
+
+    Shape: two chained watermarked aggregations (supported since Spark
+    3.4 multiple-stateful-operators): (window, kind) counts, then a
+    per-window fold. The baseline is collected ONCE driver-side (it is
+    a ≤ n_kinds-row frozen table) into literal map/array expressions,
+    so the PSI — including the mass of baseline kinds ABSENT from the
+    window, which a join-free sum would silently drop — is a pure JVM
+    column expression; no Python, no state beyond the windowed counts,
+    watermark bounds everything.
+
+    Output (append mode, finalized windows only): (window, n_spans,
+    psi, pass, rule_id)."""
+    from ..functions.spans import explode_spans
+    from ..operators.drift import EPS
+
+    rows = baseline_kind.collect()  # frozen baseline: tiny by contract
+    qmap = {r["bucket"]: float(r["freq"]) for r in rows}
+    qlit = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in qmap]),
+        F.array(*[F.lit(v) for v in qmap.values()]),
+    )
+    qkeys = F.array(*[F.lit(k) for k in qmap])
+
+    exploded = explode_spans(
+        docs_stream.withWatermark(ts_col, watermark), keep=(ts_col,)
+    )
+    counts = exploded.groupBy(
+        F.window(ts_col, window).alias("window"), "kind"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_win = counts.groupBy("window").agg(
+        F.collect_list(F.struct("kind", "n")).alias("ks"),
+        F.sum("n").alias("n_spans"),
+    )
+
+    def q_of(k):
+        return F.coalesce(F.element_at(qlit, k), F.lit(0.0))
+
+    def p_of(e):
+        return e["n"].cast("double") / F.col("n_spans")
+
+    present = F.aggregate(
+        "ks", F.lit(0.0),
+        lambda acc, e: acc + (p_of(e) - q_of(e["kind"]))
+        * F.log((p_of(e) + F.lit(EPS)) / (q_of(e["kind"]) + F.lit(EPS))),
+    )
+    observed = F.transform("ks", lambda e: e["kind"])
+    absent = F.aggregate(
+        F.filter(qkeys, lambda k: ~F.array_contains(observed, k)),
+        F.lit(0.0),
+        lambda acc, k: acc - q_of(k) * F.log(F.lit(EPS) / (q_of(k) + F.lit(EPS))),
+    )
+    psi_col = present + absent
+    return per_win.select(
+        "window", "n_spans",
+        psi_col.alias("psi"),
+        (psi_col <= psi_threshold).alias("pass"),
+        F.lit("R-DRIFT-KIND-PSI").alias("rule_id"),
+    )
+
+
 def windowed_violation_counts(docs_stream: DataFrame, ts_col: str,
                               window: str = "10 minutes",
                               watermark: str = "30 minutes",

@@ -299,3 +299,57 @@ def test_sessionizer_folds_chain_when_absorb_extends_start():
     assert n == 3
     assert start == pd.Timestamp("2024-01-01 11:25").timestamp()
     assert last == pd.Timestamp("2024-01-01 12:00").timestamp()
+
+
+def test_windowed_drift_psi_flips_on_drifted_microbatch(spark, tmp_path):
+    """Streaming drift gate: a window of baseline-like docs passes, a
+    window whose span-kind mix collapses to all-media fails — same PSI
+    semantics as the batch gate, per event-time window. A far-future
+    sentinel advances the watermark so both windows finalize under
+    append mode; the sentinel's own window stays open and unemitted."""
+    from intent_classifier_service_spark.operators import drift
+
+    in_dir = str(tmp_path / "drift_in")
+    normal = datagen.documents_spans(spark, 400)
+    baseline_kind = drift.span_kind_frequencies(normal)
+
+    all_media = normal.select(
+        "doc_id",
+        F.transform(
+            "spans",
+            lambda s: F.struct(
+                F.lit("media").alias("kind"), s["text"].alias("text"),
+                s["media_ref"].alias("media_ref"), s["offset"].alias("offset"),
+            ),
+        ).alias("spans"),
+        "part_key",
+    )
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    stamped = (
+        normal.withColumn("ts", t0 + F.make_interval(mins=F.lit(5)))
+        .unionByName(all_media.withColumn("ts", t0 + F.make_interval(mins=F.lit(25))))
+        .unionByName(
+            normal.limit(1).withColumn("ts", t0 + F.make_interval(hours=F.lit(3)))
+        )
+    )
+    stamped.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+        "part_key int, ts timestamp"
+    ).parquet(in_dir)
+    out = VS.windowed_drift_psi(stream, "ts", baseline_kind,
+                                window="10 minutes", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory").queryName("drift_win")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    rows = {r["window"]["start"].minute: r
+            for r in spark.sql("SELECT * FROM drift_win").collect()}
+    assert set(rows) == {0, 20}          # sentinel window not finalized
+    assert rows[0]["pass"] is True       # baseline-like mix
+    assert rows[0]["psi"] < 0.05
+    assert rows[20]["pass"] is False     # all-media collapse
+    assert rows[20]["psi"] > 0.2
+    assert all(r["rule_id"] == "R-DRIFT-KIND-PSI" for r in rows.values())
