@@ -41,6 +41,16 @@ def _headline_queries():
         "eval_per_class_prf": DQ.q_eval_per_class_prf,
         "tpch_q1": DQ.q_tpch_q1,
         "tpch_q3": DQ.q_tpch_q3,
+        # round-3 additions (baselines established in BENCH_r04 — a
+        # regression in these was previously invisible)
+        "tpch_q10": DQ.q_tpch_q10,
+        "tpch_q18": DQ.q_tpch_q18,
+        "json_props_stats": DQ.q_json_props_stats,
+        "sessionize_events": DQ.q_sessionize_events,
+        # round-4 operators
+        "tpch_q21": DQ.q_tpch_q21,
+        "neardup_dedup": DQ.q_neardup_dedup,
+        "decontaminate": DQ.q_decontaminate,
         "dedup_exact_prefix": DQ.q_dedup_exact_prefix,
         "minhash_lsh_pairs": DQ.q_minhash_lsh_pairs,
         "similarity_topk": DQ.q_similarity_topk,
