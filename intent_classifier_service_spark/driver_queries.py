@@ -1217,6 +1217,146 @@ LIMIT 100
 """
 
 
+def q_tpch_q15(spark, sf_dir):
+    """TPC-H Q15 shape: a derived aggregate view (per-supplier revenue)
+    consumed TWICE — once joined back to the supplier dim, once reduced
+    to a global max that filters the join via a 1-row broadcast
+    cross-join (the Spark form of a scalar subquery). The equality
+    filter compares EXACT decimal sums (never doubles — FP addition
+    order differs across engines and would break a '=' filter); the
+    projection casts to double only at the end."""
+    dec = lambda c_: F.col(c_).cast("decimal(18,2)")  # noqa: E731
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            (dec("l_extendedprice")
+             * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))
+             ).cast("decimal(28,4)")
+        ).alias("_rev")
+    )
+    mx = rev.agg(F.max("_rev").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        s.join(rev, F.col("s_suppkey") == F.col("l_suppkey"))
+        .crossJoin(F.broadcast(mx))  # 1-row scalar, broadcast rider
+        .filter(F.col("_rev") == F.col("_mx"))
+        .select(
+            "s_suppkey", "s_name",
+            F.round(F.col("_rev").cast("double"), 4).alias("total_revenue"),
+        )
+    )
+
+
+_SQL_Q15_REV = ("sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * "
+                "(CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) "
+                "AS DECIMAL(28,4)))")
+
+SQL_TPCH_Q15 = f"""
+WITH revenue AS (
+  SELECT l_suppkey, {_SQL_Q15_REV} AS rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(CAST(rev AS DOUBLE), 4) AS total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE rev = (SELECT max(rev) FROM revenue)
+"""
+
+
+def q_tpch_q16(spark, sf_dir):
+    """TPC-H Q16 shape: count(DISTINCT supplier) per part attribute
+    with a NOT IN exclusion subquery. The exclusion is a left_anti
+    against the 'complaint' suppliers (negative balance stands in for
+    the comment scan; s_suppkey is non-null, so NOT IN ≡ anti-join —
+    Spark's null-aware-anti special case never triggers and the plan
+    stays a hash join). part scales with the fact data → no forced
+    broadcast; AQE decides."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_type") != "ECONOMY") & F.col("p_size").isin(2, 5, 11, 28, 37)
+    ).select("p_partkey", "p_type", "p_size")
+    bad_s = _t(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select("s_suppkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+        .join(bad_s.withColumnRenamed("s_suppkey", "l_suppkey"),
+              "l_suppkey", "left_anti")
+        .groupBy("p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+SQL_TPCH_Q16 = """
+SELECT p_type, p_size, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'ECONOMY' AND p_size IN (2, 5, 11, 28, 37)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_type, p_size
+"""
+
+
+def q_tpch_q22(spark, sf_dir):
+    """TPC-H Q22 shape: a global scalar-average subquery (broadcast
+    1-row rider), an anti join (customers with NO orders), and a
+    derived substring grouping key (the last-2-digit 'country code' of
+    c_name stands in for the phone prefix). The anti join is against
+    RECENT orders (>= 1999) — in this testdata every customer has
+    *some* order, so the classic no-orders-ever predicate would return
+    an empty (vacuously-green) result; 'no recent orders' keeps the
+    anti-join shape and leaves survivors. The average threshold is
+    CAST(exact decimal sum AS DOUBLE)/count — one deterministic
+    division, never an FP-accumulated avg (engine-order-dependent)."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.expr("right(c_name, 2)").alias("cntrycode")
+    ).filter(F.col("cntrycode").isin("01", "12", "23", "34", "45"))
+    avg_bal = c.filter(F.col("c_acctbal") > 0).agg(
+        (F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+         / F.count(F.lit(1))).alias("_ab")
+    )
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select(F.col("o_custkey").alias("c_custkey"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_ab"))
+        .join(o, "c_custkey", "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("totacctbal"),
+        )
+    )
+
+
+SQL_TPCH_Q22 = """
+WITH c AS (
+  SELECT c_custkey, c_acctbal, right(c_name, 2) AS cntrycode
+  FROM customer
+  WHERE right(c_name, 2) IN ('01', '12', '23', '34', '45')
+), t AS (
+  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS ab
+  FROM c WHERE c_acctbal > 0
+)
+SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
+       round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS totacctbal
+FROM c, t
+WHERE c_acctbal > ab
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+  )
+GROUP BY cntrycode
+"""
+
+
 def q_json_props_stats(spark, sf_dir):
     """Semi-structured projection: extract a typed field from the JSON
     ``props`` column (JVM-side get_json_object — no Python, no schema
@@ -2037,8 +2177,11 @@ QUERIES = {
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
     "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
+    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
