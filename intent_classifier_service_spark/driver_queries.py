@@ -1463,6 +1463,56 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def q_percentiles_hist_lineitem(spark, sf_dir):
+    """The 10^12-row percentile path: exact inverse-CDF quantiles from
+    a (group, value) histogram — groupBy counts (map-side partials,
+    shuffle carries ~|domain| rows per group), cumulative window over
+    the TINY aggregated table, Q(p) = min value with CDF ≥ p (type-1
+    quantile). Complements q_percentiles_lineitem, whose interpolated
+    `percentile` aggregate gathers every raw value per group — fine at
+    test scale, a memory hazard at 100 TB. Valid whenever the value
+    domain is bounded/discrete (l_quantity: 50 integer values); for
+    continuous domains the same shape runs over fixed-width buckets
+    (then the result is bucket-exact, like the drift KS)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_quantity")
+    h = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from pyspark.sql.window import Window
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wt = Window.partitionBy("l_returnflag")
+    cdf = h.select(
+        "l_returnflag", "l_quantity",
+        F.sum("c").over(w).alias("cum"),
+        F.sum("c").over(wt).alias("tot"),
+    )
+    pick = lambda p: F.min(  # noqa: E731
+        F.when(F.col("cum") >= F.lit(p) * F.col("tot"), F.col("l_quantity"))
+    )
+    return cdf.groupBy("l_returnflag").agg(
+        pick(0.5).alias("p50"), pick(0.9).alias("p90")
+    )
+
+
+SQL_PERCENTILES_HIST = """
+WITH h AS (
+  SELECT l_returnflag, l_quantity, count(*) AS c
+  FROM lineitem GROUP BY 1, 2
+), cdf AS (
+  SELECT l_returnflag, l_quantity,
+         sum(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         sum(c) OVER (PARTITION BY l_returnflag) AS tot
+  FROM h
+)
+SELECT l_returnflag,
+       min(CASE WHEN cum >= 0.5 * tot THEN l_quantity END) AS p50,
+       min(CASE WHEN cum >= 0.9 * tot THEN l_quantity END) AS p90
+FROM cdf GROUP BY l_returnflag
+"""
+
+
 def q_minhash_lsh_pairs(spark, sf_dir):
     """MinHash+LSH near-dup candidates on the first-8-word prefix (full
     random texts share no shingles). The hash permutations aren't SQL-
@@ -1987,6 +2037,37 @@ FROM probe
 """
 
 
+def q_frame_sample_plan(spark, sf_dir):
+    """Video frame-sampling PLAN (multimodal.frame_sample_plan): expand
+    per-clip frame counts into the every-Nth frame indices to decode —
+    pure JVM sequence/filter, no Python. n_frames is derived
+    deterministically from doc_id (the testdata has no video table);
+    the decode itself stays a mapInPandas kernel seam. Indices are
+    projected as a joined string (list columns crash the driver's
+    pandas canonicalizer)."""
+    from .operators import multimodal
+
+    media = (
+        _t(spark, sf_dir, "documents").select("doc_id")
+        .filter(F.col("doc_id") < 200)
+        .withColumn("n_frames", (F.col("doc_id") % 97 + 1).cast("int"))
+    )
+    out = multimodal.frame_sample_plan(media, every_n=10)
+    return out.select(
+        "doc_id", "n_frames",
+        F.array_join(
+            F.transform("frame_indices", lambda i: i.cast("string")), ","
+        ).alias("frames"),
+    )
+
+
+SQL_FRAME_SAMPLE = """
+SELECT doc_id, CAST(doc_id % 97 + 1 AS INTEGER) AS n_frames,
+       array_to_string([CAST(i AS VARCHAR) FOR i IN generate_series(0, CAST(doc_id % 97 AS BIGINT)) IF i % 10 = 0], ',') AS frames
+FROM documents WHERE doc_id < 200
+"""
+
+
 def q_ivf_topk_indexed(spark, sf_dir):
     """Persisted-IVF ANN through the driver contract: build the
     cell-partitioned index into a temp dir (side effect; deterministic
@@ -2184,6 +2265,7 @@ QUERIES = {
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
+    "percentiles_hist_lineitem": (q_percentiles_hist_lineitem, SQL_PERCENTILES_HIST),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     "drift_ks_event_value": (q_drift_ks_event_value, SQL_DRIFT_KS),
     "eval_averaged": (q_eval_averaged, SQL_EVAL_AVERAGED),
@@ -2204,6 +2286,7 @@ QUERIES = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
+    "frame_sample_plan": (q_frame_sample_plan, SQL_FRAME_SAMPLE),
     # persisted-IVF ANN, oracled via the exact planted-duplicate top-1
     # invariant (see q_ivf_topk_indexed docstring)
     "ivf_topk_indexed": (q_ivf_topk_indexed, SQL_IVF_TOPK_INDEXED),
