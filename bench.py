@@ -66,18 +66,25 @@ def run_bench(sf_dir: str, cpus: int | None = None, query_runs: int = 2) -> dict
     # JVM/codegen warmup so q1 doesn't absorb session startup cost
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    for name, fn in _headline_queries().items():
-        # best-of-k: this host is multi-tenant and a single sample can
-        # be 5x off; the minimum is the least-contended estimate (same
-        # protocol as the scaling samples)
-        best = float("inf")
-        for _ in range(max(1, query_runs)):
+    # best-of-k with the repeats as INTERLEAVED PASSES over the whole
+    # query set, not back-to-back per query: this host is multi-tenant
+    # and contention arrives in multi-second bursts, so two immediate
+    # repeats of one query often land in the SAME burst (observed: a
+    # whole early-loop stretch 5-10x slow while later queries ran
+    # clean). Spreading each query's samples across the run makes the
+    # min a far better least-contended estimate at identical cost.
+    queries = _headline_queries()
+    rows: dict[str, int] = {}
+    for _ in range(max(1, query_runs)):
+        for name, fn in queries.items():
             t0 = time.time()
             df = fn(spark, sf_dir)
-            n = df.count()  # drain the plan
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+            rows[name] = df.count()  # drain the plan
+            sec = time.time() - t0
+            timings[name] = min(timings.get(name, float("inf")), sec)
+    for name in queries:
+        timings[name] = round(timings[name], 3)
+        print(f"  {name}: {timings[name]}s ({rows[name]} rows)", file=sys.stderr)
 
     # north-rule headline: full validation wall-time on N synthetic docs
     t0 = time.time()

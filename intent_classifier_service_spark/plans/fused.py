@@ -151,7 +151,8 @@ def fused_verdicts_and_drift(docs: DataFrame, rules: R.RuleSet | None = None,
             n_viol = r[f"_v_{rule.rule_id}"] or 0
             rate = (n_viol / n_checked) if n_checked > 0 else 0.0
             vd_out.append((*[r[g] for g in gb], rule.rule_id, n_checked,
-                           n_viol, rate, rate <= rules.max_violation_rate))
+                           n_viol, rate,
+                           rate <= rules.threshold_for(rule.rule_id)))
     by_schema = ", ".join(f"{g} {docs.schema[g].dataType.simpleString()}" for g in gb)
     vd_part = spark.createDataFrame(
         vd_out,

@@ -36,23 +36,31 @@ class SpanRule:
 
     ``violated`` / ``observed`` receive the exploded frame's columns via
     F.col: kind, text, media_ref, offset, prev_offset, span_index.
+    ``threshold`` overrides the set-wide max_violation_rate for this
+    rule's pass/fail — the reference gates different checks at
+    different bars (validity ≥ 95 % vs accuracy ≥ 80 %,
+    gpt_intent_classifier.py:396-398), and a schema-critical rule
+    (e.g. kind domain) often warrants a stricter bar than a soft one.
     """
 
     rule_id: str
     violated: Callable[[], Column]
     observed: Callable[[], Column]
     expected: str
+    threshold: float | None = None
 
 
 @dataclass(frozen=True)
 class DocRule:
     """Predicate over one document row (doc-level columns, or the whole
-    spans array). span_index is NULL on its violations."""
+    spans array). span_index is NULL on its violations.
+    ``threshold`` as in SpanRule."""
 
     rule_id: str
     violated: Callable[[], Column]
     observed: Callable[[], Column]
     expected: str
+    threshold: float | None = None
 
 
 def _null_safe_violated(rule_violated: Column) -> Column:
@@ -116,6 +124,30 @@ class RuleSet:
 
     def rule_ids(self) -> list[str]:
         return [r.rule_id for r in self.span_rules] + [r.rule_id for r in self.doc_rules]
+
+    def threshold_for(self, rule_id: str) -> float:
+        """This rule's pass bar: its own threshold if set, else the
+        set-wide max_violation_rate."""
+        for r in (*self.span_rules, *self.doc_rules):
+            if r.rule_id == rule_id and r.threshold is not None:
+                return r.threshold
+        return self.max_violation_rate
+
+    def threshold_expr(self) -> Column:
+        """Column mapping the ``rule_id`` column to its pass bar — for
+        verdict frames built from stored/unpivoted rows where the rule
+        is only known as a string. Unknown rule ids (e.g. R-DOC-UNIQUE
+        rows reconstructed from a checkpoint) fall back to the
+        set-wide default, matching threshold_for."""
+        rules = (*self.span_rules, *self.doc_rules)
+        default = F.lit(self.max_violation_rate)
+        if not rules:
+            return default
+        m = F.create_map(*[
+            x for r in rules
+            for x in (F.lit(r.rule_id), F.lit(self.threshold_for(r.rule_id)))
+        ])
+        return F.coalesce(F.element_at(m, F.col("rule_id")), default)
 
 
 # ------------------------------------------------------------------ compiler
@@ -234,8 +266,7 @@ def verdicts(docs: DataFrame, rules: RuleSet | None = None,
         "n_checked",
         "n_violations",
         rate.alias("violation_rate"),
-        (rate <= rules.max_violation_rate).alias("pass"),
-    )
+    ).withColumn("pass", F.col("violation_rate") <= rules.threshold_expr())
 
 
 def full_violations(docs: DataFrame, valid_refs: DataFrame | None = None,
@@ -329,8 +360,7 @@ def rollup_verdicts(vd_part: DataFrame, rules: RuleSet | None = None,
     return agg.select(
         "rule_id", "n_checked", "n_violations",
         rate.alias("violation_rate"),
-        (rate <= rules.max_violation_rate).alias("pass"),
-    )
+    ).withColumn("pass", F.col("violation_rate") <= rules.threshold_expr())
 
 
 def gate(verdicts_df: DataFrame) -> bool:

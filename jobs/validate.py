@@ -199,7 +199,8 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
             stored.select(
                 "part_key", "rule_id", "n_checked", "n_violations",
                 rate.alias("violation_rate"),
-                (rate <= rules.max_violation_rate).alias("pass"),
+            ).withColumn(  # per-rule pass bars (RuleSet.threshold_expr)
+                "pass", F.col("violation_rate") <= rules.threshold_expr()
             )
         )
     tables.write_violations(vd_part_full, os.path.join(output, "verdicts_by_partition"))

@@ -117,3 +117,54 @@ def test_gate(spark):
     assert R.gate(R.verdicts(_docs(spark, GOOD)))
     strict = R.RuleSet(max_violation_rate=0.0)
     assert not R.gate(R.verdicts(_docs(spark, GOOD + BAD_KIND), strict))
+
+
+def test_per_rule_thresholds(spark):
+    """A rule's own threshold overrides the set-wide bar in verdicts,
+    rollup, the fused pass, and the string-keyed threshold_expr used
+    by checkpoint reconstruction — unknown rule ids fall back to the
+    default."""
+    import dataclasses
+
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark import datagen
+    from intent_classifier_service_spark.plans import fused as PF
+
+    docs = datagen.documents_spans(spark, 1000)
+    base = {r["rule_id"]: r["pass"]
+            for r in R.verdicts(docs, R.RuleSet()).collect()}
+    assert all(base.values())  # injected rates sit under the 5% default
+
+    strict = R.RuleSet(span_rules=[
+        dataclasses.replace(r, threshold=0.0) if r.rule_id == "R-SPAN-MONO" else r
+        for r in R.SPAN_RULES
+    ])
+    assert strict.threshold_for("R-SPAN-MONO") == 0.0
+    assert strict.threshold_for("R-SPAN-KIND") == strict.max_violation_rate
+    assert strict.threshold_for("R-DOC-UNIQUE") == strict.max_violation_rate
+
+    got = {r["rule_id"]: r["pass"] for r in R.verdicts(docs, strict).collect()}
+    assert got["R-SPAN-MONO"] is False      # any violation now fails it
+    for rid, ok in base.items():
+        if rid != "R-SPAN-MONO":
+            assert got[rid] is ok           # others keep the default bar
+
+    vd_part = R.verdicts(docs, strict, by=("part_key",))
+    roll = {r["rule_id"]: r["pass"]
+            for r in R.rollup_verdicts(
+                vd_part.select("part_key", "rule_id", "n_checked", "n_violations"),
+                strict).collect()}
+    assert roll["R-SPAN-MONO"] is False and roll["R-SPAN-KIND"] is True
+
+    fused_vd = PF.fused_verdicts_and_drift(docs, strict)[0]
+    fg = {(r["rule_id"]): r["pass"] for r in
+          fused_vd.groupBy("rule_id").agg(F.min("pass").alias("pass")).collect()}
+    assert fg["R-SPAN-MONO"] is False
+
+    # threshold_expr over a reconstructed-stats-shaped frame
+    df = spark.createDataFrame(
+        [("R-SPAN-MONO", 0.001), ("R-SPAN-KIND", 0.001), ("R-DOC-UNIQUE", 0.001)],
+        "rule_id string, violation_rate double",
+    ).withColumn("pass", F.col("violation_rate") <= strict.threshold_expr())
+    out = {r["rule_id"]: r["pass"] for r in df.collect()}
+    assert out == {"R-SPAN-MONO": False, "R-SPAN-KIND": True, "R-DOC-UNIQUE": True}
