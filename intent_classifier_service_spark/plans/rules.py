@@ -274,7 +274,8 @@ def full_violations(docs: DataFrame, valid_refs: DataFrame | None = None,
                     keep: tuple[str, ...] = (),
                     n_salts: int = 32,
                     uniqueness_from: DataFrame | None = None,
-                    uniqueness_rows: DataFrame | None = None) -> DataFrame:
+                    uniqueness_rows: DataFrame | None = None,
+                    include_uniqueness: bool = True) -> DataFrame:
     """The complete violation pass in TWO scans of the table instead of
     one per rule family:
 
@@ -327,17 +328,24 @@ def full_violations(docs: DataFrame, valid_refs: DataFrame | None = None,
             _emit(rules.doc_rules, docs, F.lit(None).cast("int"), keep_cols)
             .select(*out_cols)
         )
-    if uniqueness_rows is not None:
-        uniq = uniqueness_rows
-    else:
-        uniq = uniqueness_violations(
-            docs if uniqueness_from is None else uniqueness_from, n_salts=n_salts
-        )
-    if keep:
-        dtypes = dict(docs.dtypes)
-        for k in keep:
-            uniq = uniq.withColumn(k, F.lit(None).cast(dtypes[k]))
-    parts.append(uniq.select(*out_cols))
+    # include_uniqueness=False drops scan 2 entirely — the streaming
+    # path uses this: uniqueness is a global stateful aggregation with
+    # unbounded state over an infinite stream, so streams run the
+    # stateless rule families here and leave uniqueness to the batch
+    # (or windowed) layer.
+    if include_uniqueness:
+        if uniqueness_rows is not None:
+            uniq = uniqueness_rows
+        else:
+            uniq = uniqueness_violations(
+                docs if uniqueness_from is None else uniqueness_from,
+                n_salts=n_salts,
+            )
+        if keep:
+            dtypes = dict(docs.dtypes)
+            for k in keep:
+                uniq = uniq.withColumn(k, F.lit(None).cast(dtypes[k]))
+        parts.append(uniq.select(*out_cols))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)

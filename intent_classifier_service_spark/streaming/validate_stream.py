@@ -37,9 +37,18 @@ def read_documents_stream(spark: SparkSession, path: str,
     return reader.parquet(path)
 
 
-def violations_stream(docs_stream: DataFrame, rules: R.RuleSet | None = None) -> DataFrame:
-    """The exact batch rule pass — stateless, so valid on a stream."""
-    return R.violations(docs_stream, rules)
+def violations_stream(docs_stream: DataFrame, rules: R.RuleSet | None = None,
+                      valid_refs: DataFrame | None = None) -> DataFrame:
+    """The exact batch rule pass — stateless, so valid on a stream.
+    With ``valid_refs`` (a BATCH dim of valid media_refs), the
+    referential check rides the same fused scan as a stream-static
+    broadcast left join — stateless too, so still append-safe.
+    Uniqueness stays batch-side (global aggregation = unbounded state
+    on an infinite stream; full_violations(include_uniqueness=False))."""
+    if valid_refs is None:
+        return R.violations(docs_stream, rules)
+    return R.full_violations(docs_stream, valid_refs, rules,
+                             include_uniqueness=False)
 
 
 def run_available_now(spark: SparkSession, in_dir: str, out_dir: str,

@@ -353,3 +353,31 @@ def test_windowed_drift_psi_flips_on_drifted_microbatch(spark, tmp_path):
     assert rows[20]["pass"] is False     # all-media collapse
     assert rows[20]["psi"] > 0.2
     assert all(r["rule_id"] == "R-DRIFT-KIND-PSI" for r in rows.values())
+
+
+def test_stream_referential_matches_batch(spark, tmp_path):
+    """The referential media_ref check runs on the stream as a
+    stream-static broadcast join inside the same fused scan; output
+    equals the batch pass (minus uniqueness, which is batch-only)."""
+    in_dir = str(tmp_path / "ref_in")
+    out_dir = str(tmp_path / "ref_out")
+    datagen.documents_spans(spark, 800).write.parquet(in_dir)
+    refs = datagen.valid_media_refs(spark)
+
+    stream = VS.read_documents_stream(spark, in_dir)
+    v = VS.violations_stream(stream, valid_refs=refs)
+    q = (
+        v.writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ref_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out_dir)
+    expected = R.full_violations(
+        spark.read.parquet(in_dir), refs, include_uniqueness=False
+    )
+    assert got.filter(F.col("rule_id") == "R-REF-MEDIA").count() > 0
+    assert got.count() == expected.count()
+    assert got.exceptAll(expected).count() == 0
+    assert expected.exceptAll(got).count() == 0
