@@ -161,6 +161,32 @@ FROM spans_prev WHERE prev_off IS NOT NULL AND off <= prev_off
 """
 
 
+def q_clean_corpus(spark, sf_dir):
+    """The quarantine split applied (plans/rules.partition_valid):
+    surviving doc_ids after dropping every doc with ANY span-rule
+    violation — the corpus a training pipeline would actually feed
+    downstream. Doc rules are vacuously clean on the derived corpus
+    (non-null ids, non-empty spans) and uniqueness is trivially clean
+    (ids unique), so the oracle is the NOT-IN over the three span
+    rules' violating doc_ids."""
+    docs = derived_spans(_t(spark, sf_dir, "documents"))
+    clean, _quar = R.partition_valid(docs, rules=R.RuleSet(doc_rules=[]),
+                                     include_uniqueness=False)
+    return clean.select("doc_id")
+
+
+SQL_CLEAN_CORPUS = SPANS_CTE + """
+SELECT CAST(doc_id AS VARCHAR) AS doc_id FROM documents
+WHERE CAST(doc_id AS VARCHAR) NOT IN (
+  SELECT doc_id FROM spans_prev
+  WHERE kind NOT IN ('text', 'media')
+     OR (kind = 'text' AND (text IS NULL OR media_ref IS NOT NULL))
+     OR (kind = 'media' AND (media_ref IS NULL OR text IS NOT NULL))
+     OR (prev_off IS NOT NULL AND off <= prev_off)
+)
+"""
+
+
 def q_span_rule_verdicts(spark, sf_dir):
     docs = derived_spans(_t(spark, sf_dir, "documents"))
     vd = R.verdicts(docs, R.RuleSet(doc_rules=[]))
@@ -2231,6 +2257,7 @@ QUERIES = {
     "span_mutex_violations": (q_span_mutex_violations, SQL_SPAN_MUTEX),
     "span_mono_violations": (q_span_mono_violations, SQL_SPAN_MONO),
     "span_rule_verdicts": (q_span_rule_verdicts, SQL_SPAN_VERDICTS),
+    "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
     "arrow_span_violations": (q_arrow_span_violations, SQL_ARROW_SPAN),
     "uniqueness_lineitem_orderkey": (q_uniqueness_lineitem_orderkey, SQL_UNIQUENESS),
     "referential_unknown_event_types": (q_referential_unknown_event_types, SQL_REF_EVENT_TYPES),

@@ -352,6 +352,34 @@ def full_violations(docs: DataFrame, valid_refs: DataFrame | None = None,
     return out
 
 
+def partition_valid(docs: DataFrame, valid_refs: DataFrame | None = None,
+                    rules: RuleSet | None = None,
+                    include_uniqueness: bool = True,
+                    ) -> tuple[DataFrame, DataFrame]:
+    """(clean, quarantined) — the dedup-pipeline 'act on violations'
+    step: quarantined = every doc with ANY violation row (span, doc,
+    referential, and — optionally — uniqueness: BOTH copies of a
+    duplicated id are quarantined, matching the violation rows), clean
+    = the rest. Null-id docs cannot be reached by an id join, but a
+    null doc_id IS an R-DOC-ID-NOTNULL violation, so they route to
+    quarantine explicitly.
+
+    Scale shape: one violations pass builds the (distinct doc_id)
+    offender set — tiny relative to the corpus when the gate passes —
+    then one anti + one semi hash join split the table; AQE broadcasts
+    the offender side when it fits. Invariant (test-pinned): clean ∪
+    quarantined ≡ docs, disjoint."""
+    v = full_violations(docs, valid_refs, rules,
+                        include_uniqueness=include_uniqueness)
+    bad_ids = v.select("doc_id").filter(F.col("doc_id").isNotNull()).distinct()
+    null_id = F.col("doc_id").isNull()
+    clean = docs.filter(~null_id).join(bad_ids, "doc_id", "left_anti")
+    quarantined = docs.filter(null_id).unionByName(
+        docs.join(bad_ids, "doc_id", "left_semi")
+    )
+    return clean, quarantined
+
+
 def rollup_verdicts(vd_part: DataFrame, rules: RuleSet | None = None,
                     drop: tuple[str, ...] = ("part_key",)) -> DataFrame:
     """Global verdicts derived from the per-partition verdict table —

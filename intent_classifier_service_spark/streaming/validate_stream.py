@@ -68,6 +68,21 @@ def run_available_now(spark: SparkSession, in_dir: str, out_dir: str,
     q.awaitTermination()
 
 
+def dedup_stream(docs_stream: DataFrame, ts_col: str,
+                 watermark: str = "30 minutes",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Streaming uniqueness ENFORCEMENT with bounded state: duplicate
+    ``id_col`` arrivals within the watermark horizon are dropped (first
+    wins); per-id state is evicted once the watermark passes its event
+    time, so state size is bounded by arrival rate × watermark, not by
+    corpus size. The streaming complement of the batch salted
+    uniqueness rule — exact global uniqueness needs unbounded state on
+    an infinite stream, so streams bound it by time (the standard
+    lateness contract), and the batch layer owns the full-corpus check."""
+    return docs_stream.withWatermark(ts_col, watermark) \
+        .dropDuplicatesWithinWatermark([id_col])
+
+
 def windowed_drift_psi(docs_stream: DataFrame, ts_col: str,
                        baseline_kind: DataFrame,
                        window: str = "10 minutes",

@@ -168,3 +168,39 @@ def test_per_rule_thresholds(spark):
     ).withColumn("pass", F.col("violation_rate") <= strict.threshold_expr())
     out = {r["rule_id"]: r["pass"] for r in df.collect()}
     assert out == {"R-SPAN-MONO": False, "R-SPAN-KIND": True, "R-DOC-UNIQUE": True}
+
+
+def test_partition_valid_split(spark):
+    """clean ∪ quarantined ≡ docs, disjoint; null-id docs quarantine
+    even though no id join can reach them; BOTH copies of a duplicated
+    id quarantine; blank ids quarantine via the id join."""
+    from intent_classifier_service_spark import datagen
+
+    good = datagen.documents_spans(spark, 200)
+    edge = spark.createDataFrame(
+        [
+            (None, [("text", "ok", None, 0)], 1),       # null id → doc rule
+            ("  ", [("text", "ok", None, 0)], 1),       # blank id → doc rule
+            ("dup", [("text", "a", None, 0)], 2),       # duplicated id ×2
+            ("dup", [("text", "b", None, 0)], 3),
+            ("badspan", [("tezt", "x", None, 0)], 4),   # kind violation
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, part_key int",
+    )
+    docs = good.unionByName(edge)
+    refs = datagen.valid_media_refs(spark)
+    clean, quar = R.partition_valid(docs, refs)
+
+    n_docs, n_clean, n_quar = docs.count(), clean.count(), quar.count()
+    assert n_clean + n_quar == n_docs
+    # disjoint (null ids only ever in quarantine; join on id for the rest)
+    both = clean.join(quar, "doc_id", "left_semi")
+    assert both.count() == 0
+
+    quar_ids = {r["doc_id"] for r in quar.select("doc_id").collect()}
+    assert None in quar_ids and "  " in quar_ids
+    assert "dup" in quar_ids and "badspan" in quar_ids
+    assert quar.filter(F.col("doc_id") == "dup").count() == 2
+    clean_ids = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert None not in clean_ids and "dup" not in clean_ids

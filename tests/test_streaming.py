@@ -381,3 +381,37 @@ def test_stream_referential_matches_batch(spark, tmp_path):
     assert got.count() == expected.count()
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_dedup_stream_drops_in_watermark_duplicates(spark, tmp_path):
+    """Duplicate doc_ids arriving within the watermark horizon are
+    dropped (first wins, bounded state); distinct ids all survive."""
+    in_dir = str(tmp_path / "dd_in")
+    out_dir = str(tmp_path / "dd_out")
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    base = datagen.documents_spans(spark, 300)
+    dups = base.orderBy("doc_id").limit(50)  # re-arrivals
+    stamped = (
+        base.withColumn("ts", t0 + F.make_interval(mins=F.lit(1)))
+        .unionByName(dups.withColumn("ts", t0 + F.make_interval(mins=F.lit(5))))
+    )
+    stamped.write.parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>, "
+        "part_key int, ts timestamp"
+    ).parquet(in_dir)
+    out = VS.dedup_stream(stream, "ts", watermark="30 minutes")
+    q = (
+        out.writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "dd_ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    # datagen itself injects duplicate doc_ids (uniqueness-rule fodder),
+    # so the exact survivor count is the DISTINCT id count of the input
+    n_distinct = base.select("doc_id").distinct().count()
+    assert n_distinct < 300          # the injected dups are really there
+    assert got.count() == n_distinct            # one row per distinct id
+    assert got.select("doc_id").distinct().count() == n_distinct
