@@ -357,8 +357,16 @@ def main() -> int:
             # verdicts came from, and files appended mid-run or later
             # can't leak in (Iceberg VERSION AS OF semantics; parquet
             # manifest fallback in this sandbox).
+            from intent_classifier_service_spark.operators import schema_check
             from intent_classifier_service_spark.sources import iceberg as IB
             snapshot_id = IB.write_snapshot_manifest(args.input)
+            # fail-fast schema gate BEFORE forcing the declared schema:
+            # a missing column would otherwise read as all-null and
+            # surface late as a flood of null-rate violations. Pure
+            # footer metadata — no data scan. Extra columns tolerated
+            # (evolution-by-addition is the one compatible change).
+            actual = spark.read.parquet(args.input).schema
+            schema_check.assert_schema(actual, tables.DOCUMENTS_SPANS_SCHEMA)
             docs = tables.read_documents_spans(spark, args.input,
                                                snapshot_id=snapshot_id)
     else:
