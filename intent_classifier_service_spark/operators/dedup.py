@@ -410,15 +410,26 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     )
     try:
         for _ in range(max_iter):
-            stepped = _propagate_round(edges, labels).localCheckpoint()
+            # TWO hops per materialization: the per-iteration fixed
+            # costs (checkpoint job + convergence count) dominate at
+            # small label tables, so amortize them over two rounds.
+            # Detecting changes on the SECOND hop only is sound: the
+            # propagate operator is deterministic and monotone, so
+            # prop(x) == x is a fixpoint regardless of what the first
+            # hop did — no-change-on-hop-2 ⇒ converged.
+            mid = _propagate_round(edges, labels).select(
+                "id", F.col("new_label").alias("label")
+            )
+            stepped = _propagate_round(edges, mid).localCheckpoint()
             changed = stepped.filter(F.col("new_label") < F.col("label")).count()
             labels = stepped.select("id", F.col("new_label").alias("label"))
             if changed == 0:
                 return labels.select("id", F.col("label").alias("cluster_id"))
         raise RuntimeError(
-            f"neardup_clusters: not converged after {max_iter} rounds — "
-            "the pair graph has a path longer than max_iter; raise it "
-            "(each round covers one more hop of graph diameter)"
+            f"neardup_clusters: not converged after {max_iter} rounds "
+            f"({2 * max_iter} propagation hops) — the pair graph has a "
+            "longer path; raise max_iter (each round covers two more "
+            "hops of graph diameter)"
         )
     finally:
         edges.unpersist()
