@@ -336,6 +336,67 @@ FROM cur FULL OUTER JOIN base USING (bucket)
 """
 
 
+def q_windowed_drift_psi(spark, sf_dir):
+    """Batch-window equivalent of the STREAMING drift gate (round-4
+    verdict #7): per 1-day event-time window of events.ts, PSI of the
+    event_type distribution vs the frozen whole-table baseline. Runs
+    the exact fold expression the stream runs (drift.psi_vs_frozen —
+    absent-bucket mass included) composed with F.window, so the
+    window+PSI composition gets an oracle row even though the stream
+    itself cannot. Window starts projected as strings (timestamp
+    dtype-parity rule); psi rounds to 6 on both sides."""
+    from pyspark.sql.window import Window as W
+
+    from .operators import drift
+
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy(F.col("event_type").alias("bucket")).count().select(
+        "bucket",
+        (F.col("count") / F.sum("count").over(W.partitionBy())).alias("freq"),
+    )
+    out = drift.windowed_psi(ev, "ts", "event_type", base, window="1 day")
+    return out.select(
+        F.date_format("window.start", "yyyy-MM-dd").alias("win_start"),
+        F.col("n_total").cast("long").alias("n_events"),
+        F.round("psi", 6).alias("psi"),
+        "pass",
+    )
+
+
+SQL_WINDOWED_DRIFT_PSI = """
+WITH b AS (
+  SELECT event_type AS bucket,
+         CAST(count(*) AS DOUBLE) / sum(count(*)) OVER () AS q
+  FROM events GROUP BY event_type
+), w AS (
+  SELECT date_trunc('day', ts) AS win, event_type AS bucket, count(*) AS n
+  FROM events GROUP BY 1, 2
+), wt AS (
+  SELECT win, CAST(sum(n) AS BIGINT) AS n_events FROM w GROUP BY win
+), present AS (
+  SELECT w.win,
+         sum((CAST(w.n AS DOUBLE) / wt.n_events - b.q)
+             * ln((CAST(w.n AS DOUBLE) / wt.n_events + 1e-6) / (b.q + 1e-6))) AS p_term
+  FROM w JOIN wt USING (win) JOIN b USING (bucket)
+  GROUP BY w.win
+), absent AS (
+  SELECT wt.win,
+         sum(-b.q * ln(1e-6 / (b.q + 1e-6))) AS a_term
+  FROM wt CROSS JOIN b
+  LEFT JOIN w ON w.win = wt.win AND w.bucket = b.bucket
+  WHERE w.bucket IS NULL
+  GROUP BY wt.win
+)
+SELECT strftime(wt.win, '%Y-%m-%d') AS win_start,
+       wt.n_events,
+       round(p.p_term + coalesce(a.a_term, 0.0), 6) AS psi,
+       (p.p_term + coalesce(a.a_term, 0.0)) <= 0.2 AS pass
+FROM wt
+JOIN present p USING (win)
+LEFT JOIN absent a USING (win)
+"""
+
+
 def q_eval_per_class_prf(spark, sf_dir):
     df = _eval_frame(spark, sf_dir)
     return metrics.per_class_prf(metrics.per_class_counts(df)).select(
@@ -944,16 +1005,25 @@ GROUP BY o_orderpriority
 
 
 def q_tpch_q14(spark, sf_dir):
-    """TPC-H Q14 shape: fact-dim BROADCAST join + conditional decimal
-    aggregate ratio (promo revenue share of a ship-date window). Oracle
-    parity per CLAUDE.md decimal rules: both sums stay exact decimal on
-    both engines; only the final ratio is cast to double + round(4)."""
+    """TPC-H Q14 shape: fact-part join + conditional decimal aggregate
+    ratio (promo revenue share of a ship-date window). Oracle parity
+    per CLAUDE.md decimal rules: both sums stay exact decimal on both
+    engines; only the final ratio is cast to double + round(4).
+
+    NO forced broadcast on part: unlike nation/region, part is
+    fact-scaling (~200k rows/sf → 20M rows, high-hundreds of MB at
+    sf100), so a hard hint would bypass AQE's size check and force an
+    executor-OOM broadcast at scale — the same hazard removed from the
+    customer joins in q3/q10/q18. The optimizer still picks a
+    broadcast join on its own at test SFs (plan-asserted in
+    tests/test_physical_plans.py), proving the hint was redundant
+    where it was safe and dangerous only where it wasn't."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1994-03-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1994-09-01").cast("timestamp"))
     )
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
-    j = li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
     dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
     rev = (dec("l_extendedprice")
            * (F.lit(1).cast("decimal(18,2)") - dec("l_discount"))).cast("decimal(28,4)")
@@ -1759,6 +1829,35 @@ WHERE doc_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
 """
 
 
+def q_neardup_dedup_quality(spark, sf_dir):
+    """The dedup decision with the QUALITY-AWARE survivor policy
+    (round-4 verdict #3): per near-dup cluster, keep the member with
+    the longest text (tie-break min doc_id) instead of the naive min
+    id — what a real pipeline keeps. Same pair graph as neardup_dedup,
+    so the two queries differ exactly in which cluster member
+    survives. Oracle: recursive-CTE components + a row_number window
+    (length DESC, id ASC) marking the survivor."""
+    full = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+    return dedup.neardup_dedup(
+        full, _neardup_pair_graph(spark, sf_dir),
+        survivor="best_score", score_col="text_len",
+    ).select("doc_id")
+
+
+SQL_NEARDUP_DEDUP_QUALITY = _NEARDUP_GRAPH_CTE + """
+, ranked AS (
+  SELECT c.id,
+         row_number() OVER (PARTITION BY c.cluster_id
+                            ORDER BY length(d.text) DESC, c.id ASC) AS rn
+  FROM comp c JOIN documents d ON d.doc_id = c.id
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)
+"""
+
+
 def q_stratified_sample(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select("event_id", "event_type")
     return sampling.stratified_sample(ev, "event_type", 100, order_col="event_id")
@@ -1882,8 +1981,12 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.9
 def q_text_profile(spark, sf_dir):
     """Per-document text profile, projected to the DuckDB-portable
     columns (the xxhash64 fingerprint stays pytest-covered; it has no
-    DuckDB equivalent). FP-accumulating ratios are rounded on both
-    sides."""
+    DuckDB equivalent). Includes the round-4 Gopher-style intra-doc
+    repetition metrics (rep_line_frac, top_2gram_mass). The engine
+    counts runs of xxhash64(gram) in a sorted array (O(w log w), no
+    shuffle); the oracle counts gram STRINGS — equality of the two
+    additionally witnesses collision-freedom at per-doc gram counts.
+    FP-accumulating ratios are rounded on both sides."""
     prof = textstats.text_profile(_t(spark, sf_dir, "documents"))
     return prof.select(
         "doc_id", "n_tokens", "n_subword", "n_chars",
@@ -1891,6 +1994,8 @@ def q_text_profile(spark, sf_dir):
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
         F.round("quality", 6).alias("quality"),
         "lang_pred",
+        F.round("rep_line_frac", 6).alias("rep_line_frac"),
+        F.round("top_2gram_mass", 6).alias("top_2gram_mass"),
     )
 
 
@@ -1921,9 +2026,31 @@ _SQL_LANG_CASE = """CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
             WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
             ELSE 'de' END"""
 
+# Gopher-repetition oracle fragments (shared with the repetition-gate
+# oracle): non-empty trimmed lines; word 2-grams WITH multiplicity.
+_SQL_LINES = ("list_filter(list_transform(string_split(text, chr(10)), "
+              "l -> trim(l)), l -> l <> '')")
+_SQL_REP_LINES = (
+    "CASE WHEN len({ln}) > 0 THEN "
+    "CAST(len({ln}) - len(list_distinct({ln})) AS DOUBLE) / len({ln}) "
+    "ELSE 0.0 END"
+).format(ln=_SQL_LINES)
+_SQL_2GRAMS = (
+    "CASE WHEN len({t}) < 2 THEN [] "
+    "ELSE [array_to_string({t}[i:i+1], ' ') FOR i IN generate_series(1, len({t}) - 1)] "
+    "END"
+).format(t=_SQL_TOKS)
+_SQL_TOP2_MASS = (
+    "CASE WHEN len(g) > 0 THEN "
+    "CAST(list_max(list_transform(list_distinct(g), "
+    "x -> len(list_filter(g, y -> y = x)))) AS DOUBLE) / len(g) "
+    "ELSE 0.0 END"
+)
+
 SQL_TEXT_PROFILE = f"""
 SELECT doc_id, n_tokens, n_subword, n_chars, punct_ratio, stopword_ratio, quality,
-       {_SQL_LANG_CASE} AS lang_pred
+       {_SQL_LANG_CASE} AS lang_pred, rep_line_frac,
+       round({_SQL_TOP2_MASS}, 6) AS top_2gram_mass
 FROM (
   SELECT doc_id,
          CAST({_SQL_NTOK} AS INTEGER) AS n_tokens,
@@ -1937,7 +2064,9 @@ FROM (
          {_SQL_MARKER_HITS['en']} AS h_en,
          {_SQL_MARKER_HITS['de']} AS h_de,
          {_SQL_MARKER_HITS['fr']} AS h_fr,
-         {_SQL_MARKER_HITS['es']} AS h_es
+         {_SQL_MARKER_HITS['es']} AS h_es,
+         round({_SQL_REP_LINES}, 6) AS rep_line_frac,
+         {_SQL_2GRAMS} AS g
   FROM documents
 )
 """
@@ -2252,57 +2381,23 @@ SELECT round(max(abs(d)), 6) AS ks FROM (
 """
 
 
+# Registry order IS the driver-verification order: the driver checks
+# the FIRST 50 entries each round (harness window). Round-5 rotation
+# (round-4 verdict #2): the head holds (a) the 12 queries that sat
+# outside round 4's window — including lsh_topk / ivf_topk /
+# frame_sample_plan, which had never had a driver-green row — (b) this
+# round's new queries, and (c) queries whose implementation changed
+# this round (q14 broadcast removal; seeded 3-hop label propagation
+# behind the neardup pair graph; text_profile's repetition columns).
+# 14 long-stable r04-green rows are parked past the window (span_*
+# violation trios ride span_rule_verdicts/arrow_span_violations;
+# tpch_q1/q4/q5/q6/q13 are plan-tested in tests/test_physical_plans);
+# they remain strict-parity-checkable via tools/strict_parity.py.
 QUERIES = {
-    "span_kind_violations": (q_span_kind_violations, SQL_SPAN_KIND),
-    "span_mutex_violations": (q_span_mutex_violations, SQL_SPAN_MUTEX),
-    "span_mono_violations": (q_span_mono_violations, SQL_SPAN_MONO),
-    "span_rule_verdicts": (q_span_rule_verdicts, SQL_SPAN_VERDICTS),
-    "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
-    "arrow_span_violations": (q_arrow_span_violations, SQL_ARROW_SPAN),
-    "uniqueness_lineitem_orderkey": (q_uniqueness_lineitem_orderkey, SQL_UNIQUENESS),
-    "referential_unknown_event_types": (q_referential_unknown_event_types, SQL_REF_EVENT_TYPES),
-    "referential_media_refs": (q_referential_media_refs, SQL_REF_MEDIA),
-    "column_stats_orders": (q_column_stats_orders, SQL_COLUMN_STATS),
-    "drift_psi_event_type": (q_drift_psi_event_type, SQL_DRIFT_PSI),
-    "eval_subset_accuracy": (q_eval_subset_accuracy, SQL_EVAL_ACC),
-    "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
-    "eval_cooccurrence": (q_eval_cooccurrence, SQL_EVAL_COOC),
-    "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
-    "sample_capped_per_group": (q_sample_capped_per_group, SQL_SAMPLE_CAPPED),
-    "dense_ids_event_types": (q_dense_ids_event_types, SQL_DENSE_IDS),
-    "dedup_exact_prefix": (q_dedup_exact_prefix, SQL_DEDUP_PREFIX),
-    "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
-    "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
-    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
-    "word_topk": (q_word_topk, SQL_WORD_TOPK),
-    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
-    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
-    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
-    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
-    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
-    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
-    "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
-    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
-    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
-    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
-    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
-    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
-    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
-    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
-    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
-    "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
-    "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
-    "percentiles_hist_lineitem": (q_percentiles_hist_lineitem, SQL_PERCENTILES_HIST),
-    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
-    "drift_ks_event_value": (q_drift_ks_event_value, SQL_DRIFT_KS),
-    "eval_averaged": (q_eval_averaged, SQL_EVAL_AVERAGED),
-    "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP),
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
-    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH),
-    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
-    "neardup_dedup": (q_neardup_dedup, SQL_NEARDUP_DEDUP),
-    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    # -- (a) round-4's driver-unchecked twelve --------------------------
+    "lsh_topk": (q_lsh_topk, SQL_ANN_PLANTED_TOP1),
+    "ivf_topk": (q_ivf_topk, SQL_ANN_PLANTED_TOP1),
+    "frame_sample_plan": (q_frame_sample_plan, SQL_FRAME_SAMPLE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
     "text_profile": (q_text_profile, SQL_TEXT_PROFILE),
@@ -2313,16 +2408,67 @@ QUERIES = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
-    "frame_sample_plan": (q_frame_sample_plan, SQL_FRAME_SAMPLE),
     # persisted-IVF ANN, oracled via the exact planted-duplicate top-1
-    # invariant (see q_ivf_topk_indexed docstring)
+    # invariant (see q_ivf_topk_indexed docstring; full top-k recall
+    # ≥0.8 stays pinned in tests/test_ann_recall.py)
     "ivf_topk_indexed": (q_ivf_topk_indexed, SQL_IVF_TOPK_INDEXED),
     # text-profile drift rules (the validate job gates on these)
     "drift_psi_lang": (q_drift_psi_lang, SQL_DRIFT_PSI_LANG),
     "drift_ks_quality": (q_drift_ks_quality, SQL_DRIFT_KS_QUALITY),
-    # seeded-ANN queries, oracled via the exact planted-duplicate top-1
-    # invariant (full top-k recall ≥0.8 stays pinned in
-    # tests/test_ann_recall.py — ranks 2..k are approximate by design)
-    "lsh_topk": (q_lsh_topk, SQL_ANN_PLANTED_TOP1),
-    "ivf_topk": (q_ivf_topk, SQL_ANN_PLANTED_TOP1),
+    # -- (b) new this round --------------------------------------------
+    "neardup_dedup_quality": (q_neardup_dedup_quality, SQL_NEARDUP_DEDUP_QUALITY),
+    "windowed_drift_psi": (q_windowed_drift_psi, SQL_WINDOWED_DRIFT_PSI),
+    # -- (c) implementation changed this round -------------------------
+    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
+    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "neardup_dedup": (q_neardup_dedup, SQL_NEARDUP_DEDUP),
+    # -- stable r04-green rows still inside the window ------------------
+    "span_rule_verdicts": (q_span_rule_verdicts, SQL_SPAN_VERDICTS),
+    "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
+    "arrow_span_violations": (q_arrow_span_violations, SQL_ARROW_SPAN),
+    "uniqueness_lineitem_orderkey": (q_uniqueness_lineitem_orderkey, SQL_UNIQUENESS),
+    "referential_unknown_event_types": (q_referential_unknown_event_types, SQL_REF_EVENT_TYPES),
+    "referential_media_refs": (q_referential_media_refs, SQL_REF_MEDIA),
+    "column_stats_orders": (q_column_stats_orders, SQL_COLUMN_STATS),
+    "drift_psi_event_type": (q_drift_psi_event_type, SQL_DRIFT_PSI),
+    "eval_subset_accuracy": (q_eval_subset_accuracy, SQL_EVAL_ACC),
+    "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
+    "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
+    "dedup_exact_prefix": (q_dedup_exact_prefix, SQL_DEDUP_PREFIX),
+    "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
+    "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
+    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
+    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
+    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
+    "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
+    "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
+    "percentiles_hist_lineitem": (q_percentiles_hist_lineitem, SQL_PERCENTILES_HIST),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
+    "drift_ks_event_value": (q_drift_ks_event_value, SQL_DRIFT_KS),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    # -- parked past the 50-slot window this round ----------------------
+    "span_kind_violations": (q_span_kind_violations, SQL_SPAN_KIND),
+    "span_mutex_violations": (q_span_mutex_violations, SQL_SPAN_MUTEX),
+    "span_mono_violations": (q_span_mono_violations, SQL_SPAN_MONO),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "word_topk": (q_word_topk, SQL_WORD_TOPK),
+    "eval_cooccurrence": (q_eval_cooccurrence, SQL_EVAL_COOC),
+    "dense_ids_event_types": (q_dense_ids_event_types, SQL_DENSE_IDS),
+    "sample_capped_per_group": (q_sample_capped_per_group, SQL_SAMPLE_CAPPED),
+    "eval_averaged": (q_eval_averaged, SQL_EVAL_AVERAGED),
 }

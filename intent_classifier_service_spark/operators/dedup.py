@@ -403,32 +403,40 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     edges = sym.persist()  # re-joined every round; tiny vs corpus
+    # Seeded init: label0(v) = min(v, min(neighbors(v))) — the state
+    # after one propagation hop from self-labels, computed in the SAME
+    # single shuffle the old distinct() init cost (sym is symmetric,
+    # so every vertex appears as src). One full hop of reach for free.
     labels = (
-        edges.select(F.col("src").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
+        edges.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_nbr_min"))
+        .select("id", F.least("id", "_nbr_min").alias("label"))
         .localCheckpoint()
     )
     try:
         for _ in range(max_iter):
-            # TWO hops per materialization: the per-iteration fixed
+            # THREE hops per materialization: the per-iteration fixed
             # costs (checkpoint job + convergence count) dominate at
-            # small label tables, so amortize them over two rounds.
-            # Detecting changes on the SECOND hop only is sound: the
+            # small label tables, so amortize them over three rounds.
+            # Detecting changes on the LAST hop only is sound: the
             # propagate operator is deterministic and monotone, so
-            # prop(x) == x is a fixpoint regardless of what the first
-            # hop did — no-change-on-hop-2 ⇒ converged.
-            mid = _propagate_round(edges, labels).select(
+            # prop(x) == x is a fixpoint regardless of what earlier
+            # hops did — no-change-on-hop-3 ⇒ converged.
+            mid1 = _propagate_round(edges, labels).select(
                 "id", F.col("new_label").alias("label")
             )
-            stepped = _propagate_round(edges, mid).localCheckpoint()
+            mid2 = _propagate_round(edges, mid1).select(
+                "id", F.col("new_label").alias("label")
+            )
+            stepped = _propagate_round(edges, mid2).localCheckpoint()
             changed = stepped.filter(F.col("new_label") < F.col("label")).count()
             labels = stepped.select("id", F.col("new_label").alias("label"))
             if changed == 0:
                 return labels.select("id", F.col("label").alias("cluster_id"))
         raise RuntimeError(
             f"neardup_clusters: not converged after {max_iter} rounds "
-            f"({2 * max_iter} propagation hops) — the pair graph has a "
-            "longer path; raise max_iter (each round covers two more "
+            f"({3 * max_iter} propagation hops) — the pair graph has a "
+            "longer path; raise max_iter (each round covers three more "
             "hops of graph diameter)"
         )
     finally:
@@ -437,17 +445,53 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 
 def neardup_dedup(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   id_a: str = "id_a", id_b: str = "id_b",
-                  max_iter: int = 20) -> DataFrame:
-    """The dedup DECISION applied: one surviving row (min id) per
-    connected component of the pair graph, all of ``docs``' columns
-    preserved, non-candidates untouched. A~B, B~C ⇒ exactly one of
-    {A,B,C} survives. The anti-join side is the loser set (duplicate
+                  max_iter: int = 20, survivor: str = "min_id",
+                  score_col: str | None = None) -> DataFrame:
+    """The dedup DECISION applied: one surviving row per connected
+    component of the pair graph, all of ``docs``' columns preserved,
+    non-candidates untouched. A~B, B~C ⇒ exactly one of {A,B,C}
+    survives. The anti-join side is the loser set (duplicate
     candidates minus survivors) — far smaller than the corpus, so AQE
-    broadcasts it when it fits."""
+    broadcasts it when it fits.
+
+    Survivor policies (reference analog: the keep= semantics of
+    drop_duplicates, gpt_intent_classifier.py:782, generalized from
+    equality groups to the similarity graph):
+
+      survivor="min_id"      — deterministic min doc id (default).
+      survivor="best_score"  — the member with the HIGHEST value of
+          ``score_col`` (a numeric column on ``docs``, e.g. a text
+          length or textstats.quality_score), ties broken by min id —
+          what a real training-data pipeline keeps. Resolved with one
+          partial-aggregating groupBy over a min-of-struct
+          (−score, id) — map-side combinable, no window sort; the
+          score lookup joins the candidates-only cluster table against
+          the corpus (AQE broadcasts the small side).
+    """
     clusters = neardup_clusters(pairs, id_a, id_b, max_iter)
-    losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
-        F.col("id").alias(id_col)
-    )
+    if survivor == "min_id":
+        losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
+            F.col("id").alias(id_col)
+        )
+    elif survivor == "best_score":
+        if score_col is None:
+            raise ValueError("survivor='best_score' requires score_col")
+        scored = clusters.join(
+            docs.select(F.col(id_col).alias("id"),
+                        F.col(score_col).cast("double").alias("_s")),
+            "id",
+        )
+        keep = (
+            scored.groupBy("cluster_id")
+            .agg(F.min(F.struct((-F.col("_s")).alias("neg_s"),
+                                F.col("id").alias("id"))).alias("_b"))
+            .select(F.col("_b.id").alias("id"))
+        )
+        losers = clusters.join(keep, "id", "left_anti").select(
+            F.col("id").alias(id_col)
+        )
+    else:
+        raise ValueError(f"unknown survivor policy: {survivor!r}")
     return docs.join(losers, id_col, "left_anti")
 
 

@@ -72,6 +72,77 @@ def psi(current: DataFrame, baseline: DataFrame) -> float:
     return float(row["psi"] or 0.0)
 
 
+def psi_vs_frozen(qmap: dict, ks_col: str = "ks", n_col: str = "n_total"):
+    """PSI of each row's (bucket, n)-struct-list distribution against a
+    FROZEN driver-side baseline map, as one pure JVM column expression
+    — including the mass of baseline buckets ABSENT from the row,
+    which a join-free sum would silently drop. Shared by the streaming
+    windowed drift (streaming/validate_stream.windowed_drift_psi) and
+    the batch windowed-PSI query (driver_queries.q_windowed_drift_psi)
+    so the two paths can never gate differently.
+
+    Expects ``ks_col``: array<struct<bucket, n>> (the collect_list of
+    per-bucket counts) and ``n_col``: the row's total count."""
+    qlit = F.map_from_arrays(
+        F.array(*[F.lit(k) for k in qmap]),
+        F.array(*[F.lit(float(v)) for v in qmap.values()]),
+    )
+    qkeys = F.array(*[F.lit(k) for k in qmap])
+
+    def q_of(k):
+        return F.coalesce(F.element_at(qlit, k), F.lit(0.0))
+
+    def p_of(e):
+        return e["n"].cast("double") / F.col(n_col)
+
+    present = F.aggregate(
+        ks_col, F.lit(0.0),
+        lambda acc, e: acc + (p_of(e) - q_of(e["bucket"]))
+        * F.log((p_of(e) + F.lit(EPS)) / (q_of(e["bucket"]) + F.lit(EPS))),
+    )
+    observed = F.transform(ks_col, lambda e: e["bucket"])
+    absent = F.aggregate(
+        F.filter(qkeys, lambda k: ~F.array_contains(observed, k)),
+        F.lit(0.0),
+        lambda acc, k: acc - q_of(k) * F.log(F.lit(EPS) / (q_of(k) + F.lit(EPS))),
+    )
+    return present + absent
+
+
+def windowed_psi(df: DataFrame, ts_col: str, cat_col: str,
+                 baseline: DataFrame, window: str = "1 day",
+                 psi_threshold: float = 0.2,
+                 rule_id: str = "R-DRIFT-WINDOW-PSI") -> DataFrame:
+    """Per-event-time-window PSI of ``cat_col``'s distribution against
+    a frozen (bucket, freq) baseline — the BATCH equivalent of the
+    streaming windowed drift gate, same fold expression
+    (psi_vs_frozen), so the window+PSI composition is oracle-checkable
+    even though the stream itself is not.
+
+    Scale shape: one shuffle on (window, bucket) with map-side partial
+    counts, then one on window; the baseline is collected once
+    (≤ n_buckets rows by contract) into literal expressions — no join
+    against the corpus. Output: (window, n_total, psi, pass, rule_id).
+    """
+    rows = baseline.collect()  # frozen baseline: tiny by contract
+    qmap = {r["bucket"]: float(r["freq"]) for r in rows}
+    counts = df.groupBy(
+        F.window(ts_col, window).alias("window"),
+        F.col(cat_col).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    per_win = counts.groupBy("window").agg(
+        F.collect_list(F.struct("bucket", "n")).alias("ks"),
+        F.sum("n").alias("n_total"),
+    )
+    p = psi_vs_frozen(qmap)
+    return per_win.select(
+        "window", "n_total",
+        p.alias("psi"),
+        (p <= psi_threshold).alias("pass"),
+        F.lit(rule_id).alias("rule_id"),
+    )
+
+
 def ks_from_histograms(current: DataFrame, baseline: DataFrame) -> float:
     """Two-sample KS statistic from aligned histograms: max |ECDF_p -
     ECDF_q| via cumulative sums over bucket order. Inputs: (bucket,

@@ -110,3 +110,65 @@ def assert_schema(actual: T.StructType, expected: T.StructType,
             f"input schema violates the declared contract "
             f"({len(v)} issue(s)):\n{lines}"
         )
+
+
+def per_file_schema_violations(path: str, expected: T.StructType,
+                               allow_extra: bool = True,
+                               ) -> dict[str, list[SchemaViolation]]:
+    """Diff EVERY data file's footer against the contract — the check a
+    directory-level schema cannot do. A single-footer read consults one
+    arbitrary file; a mergeSchema read unions all footers — either way
+    a column present in only SOME files looks present for the whole
+    directory, and a forced-schema read then silently yields all-null
+    values for the files that lack it. One pyarrow footer read per file
+    (pure metadata, no Spark job, no data scan); hive partition columns
+    (key=value path segments) are excluded from the contract per file —
+    they are directory-encoded, not footer-encoded. At very large file
+    counts this driver loop is the same per-file metadata pass an
+    Iceberg manifest would amortize; distribute it with
+    sc.parallelize(files) if it ever dominates."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = sorted(
+        f for f in glob.glob(os.path.join(path, "**", "*.parquet"),
+                             recursive=True)
+        if "_snapshots" not in f
+    )
+    bad: dict[str, list[SchemaViolation]] = {}
+    for f in files:
+        part_cols = {
+            seg.split("=", 1)[0]
+            for seg in os.path.relpath(f, path).split(os.sep)[:-1]
+            if "=" in seg
+        }
+        exp = T.StructType(
+            [fld for fld in expected.fields if fld.name not in part_cols]
+        )
+        actual = from_arrow_schema(pq.read_schema(f))
+        v = schema_violations(actual, exp, allow_extra=allow_extra)
+        if v:
+            bad[f] = v
+    return bad
+
+
+def assert_schema_per_file(path: str, expected: T.StructType,
+                           allow_extra: bool = True) -> None:
+    """Fail-fast per-file gate (see per_file_schema_violations): raises
+    naming each drifting file and its violations."""
+    bad = per_file_schema_violations(path, expected, allow_extra)
+    if bad:
+        lines = "\n".join(
+            f"  {f}:\n" + "\n".join(
+                f"    {x.rule_id} {x.field}: got {x.observed}, want {x.expected}"
+                for x in vs
+            )
+            for f, vs in bad.items()
+        )
+        raise ValueError(
+            f"{len(bad)} input file(s) violate the declared contract "
+            f"(per-file footer diff):\n{lines}"
+        )

@@ -28,8 +28,12 @@ _MARKERS = {
 }
 
 
+def _as_col(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
 def tokens(col: str = "text"):
-    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+    return F.split(F.lower(F.trim(_as_col(col))), r"\s+")
 
 
 # Exactly string.punctuation as a regex class: ASCII ranges !-/ :-@ [-` {-~
@@ -63,7 +67,7 @@ def remove_stopwords(col: str = "text", stopwords: list[str] | None = None):
 
 def token_count(col: str = "text"):
     """Whitespace token count."""
-    return F.when(F.length(F.trim(F.col(col))) == 0, 0).otherwise(F.size(tokens(col)))
+    return F.when(F.length(F.trim(_as_col(col))) == 0, 0).otherwise(F.size(tokens(col)))
 
 
 def subword_estimate(col: str = "text"):
@@ -142,6 +146,94 @@ def fingerprint(col: str = "text"):
     )
 
 
+# ------------------------------------------------- intra-doc repetition
+# Gopher-style repetition signals (Rae et al. 2021 §A1.1): dedup
+# catches INTER-doc repetition; these catch the boilerplate/spam shape
+# WITHIN a doc. Both are pure JVM expressions — no explode, no shuffle,
+# no Python — so they ride any existing doc-level scan for free.
+
+def word_ngrams(col: str = "text", n: int = 2):
+    """Word n-grams WITH multiplicity (unlike dedup.shingles, which
+    array_distincts — counts are the point here); empty array when the
+    doc has fewer than n tokens. The token array is let-bound via the
+    element_at(transform(array(e), body), 1) idiom so Catalyst builds
+    it once per doc, not once per window (the O(w²) inline trap, see
+    dedup.shingles)."""
+    def body(t):
+        k = F.size(t) - (n - 1)
+        return F.when(k <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.array_join(F.slice(t, i, n), " "),
+            )
+        )
+
+    return F.element_at(F.transform(F.array(tokens(col)), body), 1)
+
+
+def repeated_line_fraction(col: str = "text"):
+    """Fraction of non-empty (trimmed) lines that duplicate another
+    line of the same doc: 1 − distinct/total. 0.0 for docs with no
+    lines or null text."""
+    lines = F.filter(
+        F.transform(F.split(_as_col(col), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+
+    def body(ls):
+        return F.when(
+            F.size(ls) > 0,
+            (F.size(ls) - F.size(F.array_distinct(ls))) / F.size(ls),
+        ).otherwise(F.lit(0.0))
+
+    return F.coalesce(
+        F.element_at(F.transform(F.array(lines), body), 1), F.lit(0.0)
+    )
+
+
+def _max_run(arr):
+    """Longest run of equal adjacent elements in a SORTED array — one
+    O(len) fold, struct accumulator (prev, run, best)."""
+    init = F.struct(
+        F.lit(None).cast("long").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+    )
+
+    def step(acc, h):
+        run = F.when(h.eqNullSafe(acc["prev"]), acc["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        return F.struct(
+            h.alias("prev"), run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(arr, init, step, lambda acc: acc["best"])
+
+
+def top_ngram_mass(col: str = "text", n: int = 2):
+    """Fraction of the doc's word n-grams occupied by its single most
+    frequent n-gram (count-based variant of Gopher's top-n-gram
+    character fraction). Computed per row without any shuffle: hash
+    each n-gram (JVM xxhash64), array_sort, then the most frequent
+    count is the longest equal-run in the sorted array — O(w log w)
+    per doc vs the O(w²) count-each-distinct lambda. 0.0 when the doc
+    has no n-grams or null text."""
+    sorted_h = F.array_sort(
+        F.transform(word_ngrams(col, n), lambda g: F.xxhash64(g))
+    )
+
+    def body(h):
+        return F.when(
+            F.size(h) > 0, _max_run(h) / F.size(h)
+        ).otherwise(F.lit(0.0))
+
+    return F.coalesce(
+        F.element_at(F.transform(F.array(sorted_h), body), 1), F.lit(0.0)
+    )
+
+
 def text_profile(docs: DataFrame, id_col: str = "doc_id",
                  col: str = "text") -> DataFrame:
     """One-pass per-document profile used by pipeline filters."""
@@ -155,6 +247,8 @@ def text_profile(docs: DataFrame, id_col: str = "doc_id",
         quality_score(col).alias("quality"),
         lang_id(col).alias("lang_pred"),
         fingerprint(col).alias("fingerprint"),
+        repeated_line_fraction(col).alias("rep_line_frac"),
+        top_ngram_mass(col, 2).alias("top_2gram_mass"),
     )
 
 

@@ -60,10 +60,10 @@ def uniqueness_violations(docs: DataFrame, key: str = "doc_id", n_salts: int = 3
 
 def violations_from_counts(counts: DataFrame, key: str = "doc_id") -> DataFrame:
     """Violation rows from pre-aggregated per-partition (doc_id, n)
-    occurrence counts — the incremental-resume path: counts for
-    completed partitions come from the checkpoint, counts for pending
-    partitions from this run's scan, and their sum over partitions
-    equals a full-table count exactly. Output is row-identical to
+    occurrence counts — the raw-id variant: counts for completed
+    partitions come from a checkpoint, counts for pending partitions
+    from this run's scan, and their sum over partitions equals a
+    full-table count exactly. Output is row-identical to
     uniqueness_violations on the full table."""
     dups = (
         counts.groupBy(key)
@@ -71,3 +71,32 @@ def violations_from_counts(counts: DataFrame, key: str = "doc_id") -> DataFrame:
         .filter(F.col("n_occurrences") > 1)
     )
     return _emit_rows(dups, key)
+
+
+def duplicate_hashes(hashed_counts: DataFrame) -> DataFrame:
+    """(h1, h2, n_occurrences > 1) from per-partition hashed counts
+    (streaming.checkpoint.hash_doc_counts rows) — the incremental-
+    resume merge runs entirely on fixed-width 128-bit keys; names are
+    resolved afterwards for the (tiny) duplicate set only."""
+    return (
+        hashed_counts.groupBy("h1", "h2")
+        .agg(F.sum("n").alias("n_occurrences"))
+        .filter(F.col("n_occurrences") > 1)
+    )
+
+
+def violations_from_hashed_counts(dups: DataFrame, names: DataFrame) -> DataFrame:
+    """Standard R-DOC-UNIQUE rows for an already-aggregated duplicate
+    hash set, with real doc_ids resolved from ``names`` (h1, h2,
+    doc_id — the union of the checkpoint's bucket-pruned _docnames
+    lookup and the pending partitions' in-memory name rows; duplicates
+    between the two sources are dropped here). Every duplicate hash
+    has a name by construction: each id occurrence lies in either a
+    completed partition (its names are checkpointed — required by
+    global_state_covers) or a pending one. Output is row-identical to
+    uniqueness_violations on the full table, modulo 128-bit hash
+    collisions (≈10⁻¹⁵ expected at 10^12 ids — see hash_doc_counts)."""
+    resolved = dups.join(names.distinct(), ["h1", "h2"]).select(
+        "doc_id", "n_occurrences"
+    )
+    return _emit_rows(resolved)

@@ -116,6 +116,52 @@ DOC_RULES: list[DocRule] = [
 ]
 
 
+def repetition_rules(line_frac_max: float = 0.30,
+                     gram_mass_max: float = 0.20,
+                     min_tokens: int = 20,
+                     threshold: float | None = 0.05) -> list[DocRule]:
+    """Gopher-style intra-doc repetition rules (Rae et al. 2021 §A1.1)
+    as DocRules over the doc's text content (doc_text: joined text
+    spans) — OPT-IN (RuleSet(doc_rules=[*DOC_RULES,
+    *repetition_rules()])) so the default rule set and its golden
+    artifacts stay stable. Both metrics are pure JVM expressions
+    (textstats.repeated_line_fraction / top_ngram_mass), so the rules
+    ride the same fused scan as every other doc rule: dedup catches
+    inter-doc repetition, these catch boilerplate/spam WITHIN a doc.
+    Per-doc limits follow the Gopher filter (repeated-line fraction
+    0.30; top-2-gram count mass 0.20); the 2-gram rule only applies to
+    docs with ≥ ``min_tokens`` tokens — on a w-token doc the mass is
+    bounded below by 1/(w−1), so short docs would trip the bar
+    trivially (Gopher likewise gates repetition filters behind a
+    minimum word count). ``threshold`` bounds the corpus-level flagged
+    fraction for the gate."""
+    from ..operators.drift import doc_text
+    from ..operators.textstats import (repeated_line_fraction, token_count,
+                                       top_ngram_mass)
+
+    return [
+        DocRule(
+            "R-DOC-REP-LINES",
+            violated=lambda: repeated_line_fraction(doc_text()) > line_frac_max,
+            observed=lambda: F.format_string(
+                "rep_line_frac=%.4f", repeated_line_fraction(doc_text())
+            ),
+            expected=f"repeated-line fraction <= {line_frac_max}",
+            threshold=threshold,
+        ),
+        DocRule(
+            "R-DOC-REP-2GRAM",
+            violated=lambda: (token_count(doc_text()) >= min_tokens)
+            & (top_ngram_mass(doc_text(), 2) > gram_mass_max),
+            observed=lambda: F.format_string(
+                "top_2gram_mass=%.4f", top_ngram_mass(doc_text(), 2)
+            ),
+            expected=f"top-2-gram mass <= {gram_mass_max}",
+            threshold=threshold,
+        ),
+    ]
+
+
 @dataclass
 class RuleSet:
     span_rules: list[SpanRule] = field(default_factory=lambda: list(SPAN_RULES))

@@ -16,6 +16,7 @@ import glob as _glob
 import hashlib
 import json
 import os
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -52,25 +53,45 @@ def _data_files(path: str) -> list[str]:
     return sorted(f for f in files if "_snapshots" not in f)
 
 
+def _file_digest(path: str, size: int, chunk: int = 65536) -> str:
+    """Cheap content digest: sha256 over (size, first 64 KiB, last
+    64 KiB). Reads ≤128 KiB per file regardless of file size — parquet
+    footers (schema, row-group offsets, column stats) live in the tail
+    and the header magic + first row group in the head, so any
+    realistic rewrite perturbs one of them. A middle-only same-size
+    splice slips through; the full-content hash that would catch it
+    costs a full read per file per verify, the wrong trade at 100 TB."""
+    h = hashlib.sha256(str(size).encode())
+    with open(path, "rb") as f:
+        h.update(f.read(chunk))
+        if size > chunk:
+            f.seek(max(size - chunk, chunk))
+            h.update(f.read(chunk))
+    return h.hexdigest()[:32]
+
+
 def write_snapshot_manifest(path: str) -> str:
     """Freeze the CURRENT file set of a parquet table dir as a snapshot
     — the fallback's analog of an Iceberg snapshot commit. The manifest
-    (JSON list of data files + their (size, mtime_ns)) lives under
-    ``<path>/_snapshots/<id>.json`` with a content-derived id, so a
+    (JSON list of data files + (size, mtime_ns, content digest)) lives
+    under ``<path>/_snapshots/<id>.json`` with a CONTENT-derived id
+    (path|size|digest — deliberately NOT mtime, so a byte-identical
+    restore/rsync re-manifests under the SAME snapshot id), so a
     pinned read is immutable: files appended later are simply not in
-    the manifest, and an IN-PLACE rewrite of a data file (same name,
-    different bytes) changes its stat entry — the id differs AND
+    the manifest, and an in-place rewrite of a data file (same name,
+    different bytes) changes its digest — the id differs AND
     manifest_files detects the drift at read time instead of silently
     serving changed content under a 'pinned' snapshot. This is exactly
     the mechanism Iceberg uses (manifests of data files with
     file-level metadata), minus the catalog."""
     files = _data_files(path)
-    stats = [
-        {"path": f, "size": os.path.getsize(f),
-         "mtime_ns": os.stat(f).st_mtime_ns}
-        for f in files
-    ]
-    key = "\n".join(f"{s['path']}|{s['size']}|{s['mtime_ns']}" for s in stats)
+    stats = []
+    for f in files:
+        size = os.path.getsize(f)
+        stats.append({"path": f, "size": size,
+                      "mtime_ns": os.stat(f).st_mtime_ns,
+                      "digest": _file_digest(f, size)})
+    key = "\n".join(f"{s['path']}|{s['size']}|{s['digest']}" for s in stats)
     sid = hashlib.sha256(key.encode()).hexdigest()[:16]
     os.makedirs(_manifest_dir(path), exist_ok=True)
     mf = os.path.join(_manifest_dir(path), f"{sid}.json")
@@ -85,11 +106,16 @@ def manifest_files(path: str, snapshot_id: str,
     """Data files pinned by a manifest snapshot, or None if no such
     manifest exists (callers decide whether to fall back or fail).
 
-    With ``verify`` (default), every pinned file's (size, mtime_ns) is
-    checked against the manifest: a missing or in-place-rewritten file
-    raises instead of letting a 'pinned' read serve different data than
-    the checkpoint lineage records. Manifests written before stats were
-    recorded verify existence only."""
+    With ``verify`` (default), every pinned file is checked against the
+    manifest: a missing file or a CONTENT change (size or head/tail
+    digest drift) raises instead of letting a 'pinned' read serve
+    different data than the checkpoint lineage records. mtime drift
+    with matching content only warns — backup restores, cp/rsync
+    without preserved timestamps, and touch all change mtime on
+    byte-identical files, and hard-failing those made every pinned
+    read a false positive. Manifests written before digests were
+    recorded fall back to the (size, mtime_ns) hard check; pre-stats
+    manifests verify existence only."""
     mf = os.path.join(_manifest_dir(path), f"{snapshot_id}.json")
     if not os.path.exists(mf):
         return None
@@ -102,10 +128,24 @@ def manifest_files(path: str, snapshot_id: str,
                 raise FileNotFoundError(
                     f"snapshot {snapshot_id}: pinned data file vanished: {p}"
                 )
-            if "size" in s and (
-                os.path.getsize(p) != s["size"]
-                or os.stat(p).st_mtime_ns != s["mtime_ns"]
-            ):
+            if "size" not in s:
+                continue
+            size_ok = os.path.getsize(p) == s["size"]
+            if "digest" in s:
+                if not size_ok or _file_digest(p, s["size"]) != s["digest"]:
+                    raise ValueError(
+                        f"snapshot {snapshot_id}: pinned data file rewritten "
+                        f"in place (content drift): {p} — the snapshot no "
+                        "longer describes the on-disk data"
+                    )
+                if os.stat(p).st_mtime_ns != s["mtime_ns"]:
+                    warnings.warn(
+                        f"snapshot {snapshot_id}: mtime drift on {p} with "
+                        "matching content (restore/copy without preserved "
+                        "timestamps?) — continuing with the pinned read",
+                        stacklevel=2,
+                    )
+            elif not size_ok or os.stat(p).st_mtime_ns != s["mtime_ns"]:
                 raise ValueError(
                     f"snapshot {snapshot_id}: pinned data file rewritten "
                     f"in place (size/mtime drift): {p} — the snapshot no "

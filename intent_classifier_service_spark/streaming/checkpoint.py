@@ -51,11 +51,50 @@ RULE_STATS_SCHEMA = (
 #   _profiles: drift histogram COUNTS (dist ∈ {span_kind, offset_hist,
 #              lang_freq, quality_hist}) — counts are additive, so the
 #              merged distribution equals a full-scan one exactly.
-#   _docids:   per-partition (doc_id, n) occurrence counts — global
-#              duplicates are sums over partitions; ~one narrow row per
-#              distinct doc per partition, far smaller than the table.
+#   _docids:   per-partition (h1, h2, n) occurrence counts keyed by a
+#              128-bit id hash (round-4 verdict #6) — global duplicates
+#              are sums over partitions. Fixed 28-byte rows: at 10^12
+#              ids this is what every future resume SHUFFLES for the
+#              merge, so hashing (vs raw string ids, often 40-80 bytes)
+#              cuts the hot-path state several-fold. Collision math in
+#              hash_doc_counts.
+#   _docnames: (h1, h2, doc_id), hash-bucketed — the hash→name mapping
+#              needed ONLY to print the duplicate set's real ids in
+#              violation rows. Content-addressed (the hash determines
+#              the name), so stale rows after a partition re-validation
+#              are harmless; bucket partitioning lets the lookup read
+#              just the buckets that contain duplicates.
 PROFILE_SCHEMA = "part_key int, dist string, bucket string, n long"
-DOCID_SCHEMA = "part_key int, doc_id string, n long"
+DOCID_SCHEMA = "part_key int, h1 long, h2 long, n long"
+N_NAME_BUCKETS = 64
+
+
+def hash_doc_counts(counts: DataFrame) -> DataFrame:
+    """(part_key, doc_id, n) → (part_key, h1, h2, n): the 128-bit id
+    key is two CHAINED xxhash64 applications — h1 = xxhash64(id),
+    h2 = xxhash64(id, 1) (an extra literal column reseeds the avalanche;
+    Spark's xxhash64 has a fixed seed, and ANSI mode forbids the long
+    multiply a manual second hash would use). Treating (h1, h2) as
+    ~128 uniform bits, the expected number of colliding id pairs among
+    N = 10^12 distinct ids is N²/2^129 ≈ 1.5·10⁻¹⁵ — zero in practice;
+    a single 64-bit hash would collide with ~3 % probability at that
+    scale, which is why both are stored."""
+    return counts.select(
+        F.col("part_key").cast("int"),
+        F.xxhash64("doc_id").alias("h1"),
+        F.xxhash64("doc_id", F.lit(1)).alias("h2"),
+        F.col("n").cast("long"),
+    )
+
+
+def doc_name_rows(counts: DataFrame) -> DataFrame:
+    """(h1, h2, doc_id) name rows for a pending-partition counts frame
+    — the in-memory complement of the _docnames sidecar."""
+    return counts.select(
+        F.xxhash64("doc_id").alias("h1"),
+        F.xxhash64("doc_id", F.lit(1)).alias("h2"),
+        F.col("doc_id"),
+    )
 
 
 class CheckpointStore:
@@ -209,16 +248,32 @@ class CheckpointStore:
 
     def write_doc_counts(self, counts: DataFrame) -> None:
         """counts: (part_key, doc_id, n) — per-partition doc_id
-        occurrence counts for the partitions this run validated. One
-        narrow (int, string) shuffle produced them (uniform key);
-        written once so no future resume ever re-scans those
-        partitions for uniqueness (~one dictionary-compressed row per
-        doc)."""
-        self._write_partitioned(
-            counts.select(F.col("part_key").cast("int"), "doc_id",
-                          F.col("n").cast("long")),
-            "_docids",
+        occurrence counts for the partitions this run validated,
+        persisted as TWO artifacts (round-4 verdict #6):
+
+          _docids   — hashed fixed-width (part_key, h1, h2, n) rows,
+                      the state every future resume reads and merges;
+          _docnames — (h1, h2, doc_id), partitioned by (part_key,
+                      hb = pmod(h1, 64)) so the duplicate-set name
+                      lookup prunes to the buckets that contain
+                      duplicates instead of reading the O(corpus)
+                      mapping. Content-addressed, so rows left behind
+                      by a re-validated partition can never map a hash
+                      to a wrong name.
+        """
+        self._write_partitioned(hash_doc_counts(counts), "_docids")
+        names = counts.select(
+            F.col("part_key").cast("int"),
+            F.xxhash64("doc_id").alias("h1"),
+            F.xxhash64("doc_id", F.lit(1)).alias("h2"),
+            F.col("doc_id"),
+        ).withColumn(
+            "hb", F.pmod(F.col("h1"), F.lit(N_NAME_BUCKETS)).cast("int")
         )
+        (names.write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("part_key", "hb")
+              .parquet(self.path + "_docnames"))
 
     def stored_doc_counts(self, part_keys: list[int]) -> DataFrame:
         schema_df = self.spark.createDataFrame([], DOCID_SCHEMA)
@@ -227,18 +282,46 @@ class CheckpointStore:
         return (
             self.spark.read.parquet(self.path + "_docids")
             .filter(F.col("part_key").isin([int(k) for k in part_keys]))
-            .select("part_key", "doc_id", F.col("n").cast("long"))
+            .select("part_key", "h1", "h2", F.col("n").cast("long"))
+        )
+
+    def lookup_doc_names(self, dup_hashes: DataFrame) -> DataFrame:
+        """(h1, h2, doc_id) for the given (h1, h2, ...) duplicate set.
+        Collects only the ≤ N_NAME_BUCKETS distinct bucket ids of the
+        duplicates (bounded driver traffic regardless of how many
+        duplicates exist), prunes the _docnames read to those
+        directories, then semi-joins the hash set."""
+        empty = self.spark.createDataFrame([], "h1 long, h2 long, doc_id string")
+        p = self.path + "_docnames"
+        if not os.path.exists(p):
+            return empty
+        buckets = [
+            r["hb"]
+            for r in dup_hashes.select(
+                F.pmod(F.col("h1"), F.lit(N_NAME_BUCKETS)).cast("int").alias("hb")
+            ).distinct().collect()
+        ]
+        if not buckets:
+            return empty
+        return (
+            self.spark.read.parquet(p)
+            .filter(F.col("hb").isin(buckets))
+            .join(dup_hashes.select("h1", "h2"), ["h1", "h2"], "left_semi")
+            .select("h1", "h2", "doc_id")
+            .distinct()
         )
 
     def global_state_covers(self, part_keys: list[int]) -> bool:
-        """True iff BOTH incremental stores hold rows for every given
+        """True iff every incremental store holds rows for every given
         partition — the precondition for merge-based resume. Partitions
         completed by pre-incremental checkpoints (or simulated test
-        checkpoints) fail this, and callers fall back to the
+        checkpoints, or pre-hashed-state _docids layouts missing the
+        _docnames sidecar) fail this, and callers fall back to the
         full-table-scan path."""
         keys = set(int(k) for k in part_keys)
-        return keys <= self._covered_keys("_profiles") and \
-            keys <= self._covered_keys("_docids")
+        return (keys <= self._covered_keys("_profiles")
+                and keys <= self._covered_keys("_docids")
+                and keys <= self._covered_keys("_docnames"))
 
     def mark_done_bulk(self, stats: DataFrame, snapshot_id: str) -> None:
         """stats: (part_key, n_docs, n_violations) — one append for all

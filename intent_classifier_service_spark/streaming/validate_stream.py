@@ -71,11 +71,15 @@ def run_available_now(spark: SparkSession, in_dir: str, out_dir: str,
 def dedup_stream(docs_stream: DataFrame, ts_col: str,
                  watermark: str = "30 minutes",
                  id_col: str = "doc_id") -> DataFrame:
-    """Streaming uniqueness ENFORCEMENT with bounded state: duplicate
-    ``id_col`` arrivals within the watermark horizon are dropped (first
-    wins); per-id state is evicted once the watermark passes its event
-    time, so state size is bounded by arrival rate × watermark, not by
-    corpus size. The streaming complement of the batch salted
+    """Streaming uniqueness ENFORCEMENT with bounded state: ONE
+    arbitrary copy per ``id_col`` within the watermark horizon
+    survives — dropDuplicatesWithinWatermark keeps the first-OBSERVED
+    row, and within a micro-batch (or an availableNow drain) there is
+    no event-time ordering guarantee, so the survivor is not
+    necessarily the earliest arrival (pre-aggregate min-by-ts per id
+    upstream if first-by-event-time matters). Per-id state is evicted
+    once the watermark passes its event time, so state size is bounded
+    by arrival rate × watermark, not by corpus size. The streaming complement of the batch salted
     uniqueness rule — exact global uniqueness needs unbounded state on
     an infinite stream, so streams bound it by time (the standard
     lateness contract), and the batch layer owns the full-corpus check."""
@@ -99,51 +103,31 @@ def windowed_drift_psi(docs_stream: DataFrame, ts_col: str,
     a ≤ n_kinds-row frozen table) into literal map/array expressions,
     so the PSI — including the mass of baseline kinds ABSENT from the
     window, which a join-free sum would silently drop — is a pure JVM
-    column expression; no Python, no state beyond the windowed counts,
-    watermark bounds everything.
+    column expression (drift.psi_vs_frozen, shared with the batch
+    windowed-PSI query so the two paths can never gate differently);
+    no Python, no state beyond the windowed counts, watermark bounds
+    everything.
 
     Output (append mode, finalized windows only): (window, n_spans,
     psi, pass, rule_id)."""
     from ..functions.spans import explode_spans
-    from ..operators.drift import EPS
+    from ..operators.drift import psi_vs_frozen
 
     rows = baseline_kind.collect()  # frozen baseline: tiny by contract
     qmap = {r["bucket"]: float(r["freq"]) for r in rows}
-    qlit = F.map_from_arrays(
-        F.array(*[F.lit(k) for k in qmap]),
-        F.array(*[F.lit(v) for v in qmap.values()]),
-    )
-    qkeys = F.array(*[F.lit(k) for k in qmap])
 
     exploded = explode_spans(
         docs_stream.withWatermark(ts_col, watermark), keep=(ts_col,)
     )
     counts = exploded.groupBy(
-        F.window(ts_col, window).alias("window"), "kind"
+        F.window(ts_col, window).alias("window"),
+        F.col("kind").alias("bucket"),
     ).agg(F.count(F.lit(1)).alias("n"))
     per_win = counts.groupBy("window").agg(
-        F.collect_list(F.struct("kind", "n")).alias("ks"),
+        F.collect_list(F.struct("bucket", "n")).alias("ks"),
         F.sum("n").alias("n_spans"),
     )
-
-    def q_of(k):
-        return F.coalesce(F.element_at(qlit, k), F.lit(0.0))
-
-    def p_of(e):
-        return e["n"].cast("double") / F.col("n_spans")
-
-    present = F.aggregate(
-        "ks", F.lit(0.0),
-        lambda acc, e: acc + (p_of(e) - q_of(e["kind"]))
-        * F.log((p_of(e) + F.lit(EPS)) / (q_of(e["kind"]) + F.lit(EPS))),
-    )
-    observed = F.transform("ks", lambda e: e["kind"])
-    absent = F.aggregate(
-        F.filter(qkeys, lambda k: ~F.array_contains(observed, k)),
-        F.lit(0.0),
-        lambda acc, k: acc - q_of(k) * F.log(F.lit(EPS) / (q_of(k) + F.lit(EPS))),
-    )
-    psi_col = present + absent
+    psi_col = psi_vs_frozen(qmap, n_col="n_spans")
     return per_win.select(
         "window", "n_spans",
         psi_col.alias("psi"),

@@ -135,6 +135,7 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     uniq_rows = None
     pending_profiles = None
     pending_doc_counts = None
+    dups = None
     if incremental:
         if n_docs > 0:
             # persisted: each feeds two actions (checkpoint write +
@@ -144,11 +145,27 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
                 docs, lo=0, hi=128
             ).persist()
             pending_doc_counts = _doc_counts(docs).persist()
-        merged_doc_counts = store.stored_doc_counts(done_keys)
-        if pending_doc_counts is not None:
-            merged_doc_counts = merged_doc_counts.unionByName(pending_doc_counts)
+        # the merge runs on the fixed-width 128-bit hashed state
+        # (streaming/checkpoint.py round-4 #6); names are resolved only
+        # for the duplicate set — from pending rows in memory and from
+        # the bucket-pruned _docnames sidecar for completed partitions.
         from intent_classifier_service_spark.operators import uniqueness as U
-        uniq_rows = U.violations_from_counts(merged_doc_counts)
+        from intent_classifier_service_spark.streaming import checkpoint as CK
+        merged_doc_counts = store.stored_doc_counts(done_keys)
+        pending_names = None
+        if pending_doc_counts is not None:
+            merged_doc_counts = merged_doc_counts.unionByName(
+                CK.hash_doc_counts(pending_doc_counts)
+            )
+            pending_names = CK.doc_name_rows(pending_doc_counts)
+        # persisted: consumed by the bucket-list collect, the name
+        # join, AND the violations write — tiny (gate-passing corpora
+        # have few duplicates)
+        dups = U.duplicate_hashes(merged_doc_counts).persist()
+        names = store.lookup_doc_names(dups)
+        if pending_names is not None:
+            names = names.unionByName(pending_names)
+        uniq_rows = U.violations_from_hashed_counts(dups, names)
     all_v = R.full_violations(
         docs, valid_refs, rules, keep=("part_key",),
         uniqueness_from=docs_all if (resuming and not incremental) else None,
@@ -315,7 +332,7 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
 
     if resuming:
         vd_part.unpersist()
-    for _df in (pending_profiles, pending_doc_counts):
+    for _df in (pending_profiles, pending_doc_counts, dups):
         if _df is not None and _df.is_cached:
             _df.unpersist()
     docs.unpersist()
@@ -365,8 +382,14 @@ def main() -> int:
             # surface late as a flood of null-rate violations. Pure
             # footer metadata — no data scan. Extra columns tolerated
             # (evolution-by-addition is the one compatible change).
-            actual = spark.read.parquet(args.input).schema
-            schema_check.assert_schema(actual, tables.DOCUMENTS_SPANS_SCHEMA)
+            # PER-FILE footer diff: a single-footer (or merged) read
+            # hides per-file drift — older files missing a column union
+            # away behind newer ones while the forced-schema read still
+            # yields all-null values for them (the exact failure this
+            # gate exists to prevent).
+            schema_check.assert_schema_per_file(
+                args.input, tables.DOCUMENTS_SPANS_SCHEMA
+            )
             docs = tables.read_documents_spans(spark, args.input,
                                                snapshot_id=snapshot_id)
     else:

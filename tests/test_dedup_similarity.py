@@ -156,6 +156,36 @@ def test_neardup_dedup_one_survivor_per_component(spark):
     assert dedup.neardup_dedup(docs, pairs).columns == ["doc_id", "text"]
 
 
+def test_neardup_dedup_quality_survivor(spark):
+    """survivor='best_score' keeps the HIGHEST-score member per
+    cluster (here the longest text), not the min id — and ties break
+    on min id. Component {1,2,3}: doc 3 is longest → survives even
+    though 1 is the min id. Component {5,6}: equal lengths → tie-break
+    keeps 5."""
+    docs = spark.createDataFrame(
+        [(0, "solo"), (1, "short"), (2, "medium text"),
+         (3, "the longest text of the cluster"), (4, "alone"),
+         (5, "same len"), (6, "same len")],
+        "doc_id long, text string",
+    ).withColumn("text_len", F.length("text"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long"
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in dedup.neardup_dedup(
+            docs, pairs, survivor="best_score", score_col="text_len"
+        ).collect()
+    )
+    assert out == [0, 3, 4, 5]
+    import pytest
+
+    with pytest.raises(ValueError, match="score_col"):
+        dedup.neardup_dedup(docs, pairs, survivor="best_score")
+    with pytest.raises(ValueError, match="survivor"):
+        dedup.neardup_dedup(docs, pairs, survivor="bogus")
+
+
 def test_neardup_clusters_long_path_converges(spark):
     """A 12-hop path needs ~12 propagation rounds — converges under the
     default budget, raises loudly when the budget is too small (never

@@ -84,3 +84,43 @@ def test_manifest_detects_inplace_rewrite(spark, tmp_path):
     os.remove(victim)
     with pytest.raises(FileNotFoundError):
         iceberg.manifest_files(p, sid)
+
+
+def test_mtime_only_drift_warns_not_fails(spark, tmp_path):
+    """Byte-identical files whose mtime changed (backup restore,
+    cp/rsync without preserved timestamps, touch) must NOT fail a
+    pinned read — content digests verify; mtime drift alone warns.
+    A same-size content rewrite (the case (size, mtime) verification
+    could never catch when timestamps are preserved) must still raise.
+    And re-manifesting byte-identical data yields the SAME snapshot id
+    (the id derives from content, not mtime)."""
+    import glob
+    import os
+    import warnings as _w
+
+    import pytest
+
+    from intent_classifier_service_spark import datagen
+
+    p = str(tmp_path / "docs")
+    datagen.documents_spans(spark, 20).write.parquet(p)
+    sid = iceberg.write_snapshot_manifest(p)
+
+    victim = sorted(glob.glob(os.path.join(p, "*.parquet")))[0]
+    st = os.stat(victim)
+    os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns + 10_000_000))
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        files = iceberg.manifest_files(p, sid)      # no raise
+    assert files and any("mtime drift" in str(c.message) for c in caught)
+    # identical content (mtime differs) → SAME snapshot id
+    assert iceberg.write_snapshot_manifest(p) == sid
+
+    # same-size rewrite with preserved mtime → caught by the digest
+    data = bytearray(open(victim, "rb").read())
+    data[-5] ^= 0xFF                                # flip a footer byte
+    with open(victim, "wb") as f:
+        f.write(bytes(data))
+    os.utime(victim, ns=(st.st_atime_ns, st.st_mtime_ns + 10_000_000))
+    with pytest.raises(ValueError, match="rewritten in place"):
+        iceberg.manifest_files(p, sid)

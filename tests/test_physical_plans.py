@@ -42,19 +42,21 @@ def _hint_count(df) -> int:
 
 
 def test_no_forced_broadcast_on_fact_scaling_tables(spark):
-    """customer grows linearly with the fact data (~15M rows at sf100),
-    so q3/q10/q18 must NOT carry a hard broadcast hint on it — the hint
-    would bypass AQE's size check and force a multi-GB broadcast at
-    scale (round-3 verdict scale-killer #1). Only bounded dims (nation:
-    25 rows) may keep hints. The optimizer must still CHOOSE broadcast
-    for customer at sf0.1 from its size estimates — proving the hint
-    was redundant at test scale and dangerous only at 100×."""
+    """customer and part grow linearly with the fact data (~15M
+    customer / ~20M part rows at sf100), so q3/q10/q14/q18 must NOT
+    carry a hard broadcast hint on them — the hint would bypass AQE's
+    size check and force a multi-GB broadcast at scale (round-3/round-4
+    verdict scale-killers). Only bounded dims (nation: 25 rows) may
+    keep hints. The optimizer must still CHOOSE broadcast at sf0.1
+    from its size estimates — proving the hint was redundant at test
+    scale and dangerous only at 100×."""
     sf01 = "/root/testdata/sf0.1"
     assert _hint_count(DQ.q_tpch_q3(spark, sf01)) == 0
     assert _hint_count(DQ.q_tpch_q18(spark, sf01)) == 0
+    assert _hint_count(DQ.q_tpch_q14(spark, sf01)) == 0
     assert _hint_count(DQ.q_tpch_q10(spark, sf01)) == 1  # nation only
 
-    for q in (DQ.q_tpch_q3, DQ.q_tpch_q10, DQ.q_tpch_q18):
+    for q in (DQ.q_tpch_q3, DQ.q_tpch_q10, DQ.q_tpch_q14, DQ.q_tpch_q18):
         df = q(spark, sf01)
         df.collect()  # let AQE finalize the executed plan
         p = _plan(df)

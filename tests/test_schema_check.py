@@ -76,3 +76,41 @@ def test_validate_job_gates_on_bad_input_schema(spark, tmp_path):
     )
     assert r.returncode != 0
     assert "R-SCHEMA-MISSING spans" in (r.stderr + r.stdout)
+
+
+def test_per_file_gate_catches_heterogeneous_directory(spark, tmp_path):
+    """A directory where only SOME files carry a contract column: a
+    merged (or lucky single-footer) directory schema contains the
+    column, so the directory-level gate passes — while a forced-schema
+    read yields all-null part_key for the old files. The per-file gate
+    must name exactly the drifting file; a homogeneous directory must
+    pass; hive partition columns must not false-positive."""
+    from intent_classifier_service_spark import datagen
+
+    p = str(tmp_path / "docs")
+    good = datagen.documents_spans(spark, 50)
+    good.write.parquet(p)
+    assert SC.per_file_schema_violations(p, DOCUMENTS_SPANS_SCHEMA) == {}
+    SC.assert_schema_per_file(p, DOCUMENTS_SPANS_SCHEMA)  # no raise
+
+    # append a file MISSING part_key (schema drift by column removal)
+    good.limit(10).drop("part_key").coalesce(1) \
+        .write.mode("append").parquet(p)
+    # the union-of-footers schema still shows part_key → directory-level
+    # gate is blind to the drift...
+    merged = spark.read.option("mergeSchema", "true").parquet(p).schema
+    assert SC.schema_violations(merged, DOCUMENTS_SPANS_SCHEMA,
+                                allow_extra=True) == []
+    # ...the per-file gate is not
+    bad = SC.per_file_schema_violations(p, DOCUMENTS_SPANS_SCHEMA)
+    assert len(bad) == 1
+    (vs,) = bad.values()
+    assert [(v.rule_id, v.field) for v in vs] == [("R-SCHEMA-MISSING", "part_key")]
+    with pytest.raises(ValueError, match="R-SCHEMA-MISSING part_key"):
+        SC.assert_schema_per_file(p, DOCUMENTS_SPANS_SCHEMA)
+
+    # hive-partitioned layout: part_key lives in the directory name,
+    # not the footer — excluded per file, so no false positive
+    p2 = str(tmp_path / "docs_hive")
+    good.write.partitionBy("part_key").parquet(p2)
+    assert SC.per_file_schema_violations(p2, DOCUMENTS_SPANS_SCHEMA) == {}
