@@ -55,6 +55,10 @@ def _headline_queries():
         "minhash_lsh_pairs": DQ.q_minhash_lsh_pairs,
         "similarity_topk": DQ.q_similarity_topk,
         "text_token_stats": DQ.q_text_token_stats,
+        # round-5 operators (baselines established in BENCH_r05)
+        "neardup_dedup_quality": DQ.q_neardup_dedup_quality,
+        "windowed_drift_psi": DQ.q_windowed_drift_psi,
+        "text_profile": DQ.q_text_profile,  # now incl. repetition metrics
     }
 
 
