@@ -56,6 +56,38 @@ def column_stats(df: DataFrame, cols: list[str], by: tuple[str, ...] = (),
     return out
 
 
+def embedding_stats(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Embedding-column validation: one scan, one global aggregate row —
+    n_vecs, null vectors, min/max dimensionality, vectors containing a
+    non-finite (null/NaN/±Inf) element, and min/max L2 norm.
+
+    The norm is computed per row with an ordered ``F.aggregate`` fold
+    (deterministic left-to-right FP accumulation) and rounded to 6
+    decimals BEFORE the min/max aggregate, so the reduction itself is
+    order-independent — the oracle-parity trick for FP reductions
+    (CLAUDE.md decimal rules, applied to doubles). Everything is JVM
+    higher-order functions over the array column: no explode (which
+    would multiply 10^12 rows by the dimension), no Python, no shuffle
+    beyond the single-row final aggregate."""
+    v = F.col(vec_col).cast("array<double>")
+    dim = F.size(v)
+    nonfinite = F.exists(
+        v, lambda x: x.isNull() | F.isnan(x) | (F.abs(x) == F.lit(float("inf")))
+    )
+    norm = F.round(
+        F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)), 6
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum(F.col(vec_col).isNull().cast("long")).alias("n_null_vec"),
+        F.min(dim).alias("min_dim"),
+        F.max(dim).alias("max_dim"),
+        F.sum(F.coalesce(nonfinite.cast("long"), F.lit(0))).alias("n_nonfinite"),
+        F.min(norm).alias("min_norm"),
+        F.max(norm).alias("max_norm"),
+    )
+
+
 def hll_partition_sketches(df: DataFrame, col: str, by: tuple[str, ...] = ("part_key",)) -> DataFrame:
     """Per-partition HLL sketches (binary). Kept as a table so the global
     distinct is a cheap union of sketches, and so resumed runs can merge

@@ -252,6 +252,40 @@ def text_profile(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
+# PII patterns: kept deliberately simple and identical in Java regex
+# and RE2 semantics (character classes + bounded quantifiers only — no
+# lookaround, no backrefs) so the DuckDB oracle can run the same
+# pattern verbatim. A production deployment would swap in a vetted
+# pattern pack; the engine mechanics (global JVM regexp_replace, one
+# scan, no Python) are the point here.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_URL_RE = r"https?://[a-z0-9./_-]+"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4,10}"
+
+
+def pii_scrub(docs: DataFrame, col: str = "text") -> DataFrame:
+    """Training-data PII redaction: count and replace email / URL /
+    phone patterns with typed placeholder tokens, entirely JVM-side
+    (regexp_count + regexp_replace stay in codegen — no Python, no
+    shuffle; the standard pre-training scrub pass at 100 TB is exactly
+    one scan). Adds n_emails / n_urls / n_phones and rewrites ``col``
+    in place. Scrub order email → url → phone is safe: the three
+    patterns cannot overlap (emails have no scheme, placeholders
+    contain '<' which no pattern matches)."""
+    c = _as_col(col)
+    out = docs.withColumn("n_emails", F.regexp_count(c, F.lit(PII_EMAIL_RE)))
+    out = out.withColumn("n_urls", F.regexp_count(c, F.lit(PII_URL_RE)))
+    out = out.withColumn("n_phones", F.regexp_count(c, F.lit(PII_PHONE_RE)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, PII_EMAIL_RE, "<EMAIL>"),
+            PII_URL_RE, "<URL>",
+        ),
+        PII_PHONE_RE, "<PHONE>",
+    )
+    return out.withColumn(col, scrubbed)
+
+
 def word_topk(docs: DataFrame, col: str = "text", k: int = 20) -> DataFrame:
     """Top-k frequent words (ref data_exploration cell 27). orderBy +
     limit plans TakeOrderedAndProject — per-partition heaps, no global

@@ -64,6 +64,32 @@ def test_no_forced_broadcast_on_fact_scaling_tables(spark):
         assert "SortMergeJoin" not in p, q.__name__
 
 
+def test_tpch_suite_hint_discipline(spark):
+    """Round-5 TPC-H completions: forced broadcast hints may appear
+    ONLY on bounded dims (nation: 25 rows, region: 5 rows) and 1-row
+    scalar riders — never on customer/part/supplier-derived inputs,
+    which scale with the fact data. Exact counts pin the hint set."""
+    assert _hint_count(DQ.q_tpch_q2(spark, SF)) == 2   # nation + region
+    assert _hint_count(DQ.q_tpch_q7(spark, SF)) == 2   # nation ×2
+    assert _hint_count(DQ.q_tpch_q8(spark, SF)) == 3   # nation ×2 + region
+    assert _hint_count(DQ.q_tpch_q9(spark, SF)) == 1   # nation
+    # q11: nation hint counts twice (val's subtree is embedded again
+    # under the 1-row `tot` scalar aggregate) + the tot hint itself.
+    assert _hint_count(DQ.q_tpch_q11(spark, SF)) == 3
+    assert _hint_count(DQ.q_tpch_q12(spark, SF)) == 0
+    assert _hint_count(DQ.q_tpch_q19(spark, SF)) == 0
+    assert _hint_count(DQ.q_tpch_q20(spark, SF)) == 1  # nation
+
+
+def test_q19_disjunctive_predicate_stays_equi_join(spark):
+    """Q19's OR-of-ANDs references both join sides; Catalyst must still
+    extract the l_partkey equi-key — a nested-loop/cartesian here reads
+    every (lineitem, part) pair at 100 TB."""
+    p = _plan(DQ.q_tpch_q19(spark, SF))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoop" not in p
+
+
 def test_referential_is_broadcast_anti(spark):
     docs = datagen.documents_spans(spark, 100)
     p = _plan(referential.referential_violations(docs, datagen.valid_media_refs(spark)))
