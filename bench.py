@@ -59,6 +59,9 @@ def _headline_queries():
         "neardup_dedup_quality": DQ.q_neardup_dedup_quality,
         "windowed_drift_psi": DQ.q_windowed_drift_psi,
         "text_profile": DQ.q_text_profile,  # now incl. repetition metrics
+        "pii_scrub": DQ.q_pii_scrub,
+        "embedding_stats": DQ.q_embedding_stats,
+        "referential_large_dim": DQ.q_referential_media_refs_large_dim,
     }
 
 

@@ -260,6 +260,18 @@ WHERE media_ref IS NOT NULL
 """
 
 
+def q_referential_media_refs_large_dim(spark, sf_dir):
+    """Same dangling-ref rows via the large-dim plan (distinct-refs
+    shuffle anti-join + broadcast-back of the dangling set; the fact
+    side never shuffles, the dim is never broadcast in full). Identical
+    oracle to referential_media_refs — only the physical plan differs."""
+    docs = derived_spans(_t(spark, sf_dir, "documents"))
+    dim = spark.range(500).select(
+        F.format_string("media-%05d", F.col("id")).alias("media_ref")
+    )
+    return referential.referential_violations_large_dim(docs, dim)
+
+
 def q_column_stats_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return stats.column_stats(
@@ -2930,6 +2942,11 @@ QUERIES = {
     # round-5 pipeline operators
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+    # large-dim referential plan (same rows/oracle as
+    # referential_media_refs; fact-side shuffle-free variant for
+    # non-broadcastable dims)
+    "referential_media_refs_large_dim": (
+        q_referential_media_refs_large_dim, SQL_REF_MEDIA),
     # -- (c) implementation changed this round -------------------------
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),

@@ -39,6 +39,48 @@ def referential_violations(docs: DataFrame, valid_refs: DataFrame,
     )
 
 
+def referential_violations_large_dim(docs: DataFrame, valid_refs: DataFrame,
+                                     ref_col: str = "media_ref") -> DataFrame:
+    """Same violation rows as :func:`referential_violations`, for dims
+    too big to broadcast (10^9 valid refs ≈ 50 GB raw — no executor
+    holds that hash set).
+
+    Scale shape — the fact side NEVER shuffles and the dim is NEVER
+    broadcast in full:
+
+    1. Partial-distinct the fact's refs: HashAggregate combines
+       map-side, so the exchange carries unique refs per partition
+       (≪ row count when refs repeat), not 10^12 rows.
+    2. Shuffle anti-join unique refs against the dim — both sides hash
+       by ref, each shuffle is bounded by its own distinct cardinality.
+       This is the one unavoidable exchange, and it's dim-sized.
+    3. Broadcast the DANGLING refs back over the fact as a left_semi.
+       The dangling set is bounded by the violation-rate gate contract
+       (a 5 %-of-distinct-refs ceiling before the run fails anyway),
+       so the broadcast is small by construction — the same
+       loser-set ≪ corpus argument as dedup's anti-join. The fact
+       side streams map-side against it; zero fact shuffle.
+
+    Rows are identical to the broadcast path (same oracle); only the
+    physical plan differs. Pick this variant when ``valid_refs`` is
+    fact-scaling; the broadcast path when it's a true dimension.
+    """
+    spans = (
+        explode_spans(docs)
+        .filter(F.col(ref_col).isNotNull())
+        .select("doc_id", "span_index", ref_col)
+    )
+    distinct_refs = spans.select(ref_col).distinct()
+    dangling = distinct_refs.join(valid_refs, ref_col, "left_anti")
+    return spans.join(F.broadcast(dangling), ref_col, "left_semi").select(
+        "doc_id",
+        F.lit("R-REF-MEDIA").alias("rule_id"),
+        F.col("span_index").cast("int"),
+        F.col(ref_col).alias("observed"),
+        F.lit("media_ref in valid_media_refs").alias("expected"),
+    )
+
+
 def unknown_refs(docs: DataFrame, valid_refs: DataFrame,
                  ref_col: str = "media_ref") -> DataFrame:
     """Distinct dangling refs — the reference's `set(test) - set(known)`

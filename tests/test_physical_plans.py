@@ -97,6 +97,24 @@ def test_referential_is_broadcast_anti(spark):
     assert "SortMergeJoin" not in p
 
 
+def test_referential_large_dim_plan_and_parity(spark):
+    """The large-dim referential variant must (a) carry exactly ONE
+    broadcast hint — the dangling-set broadcast-back, never the dim —
+    (b) compile to equi-joins only, and (c) return row-identical
+    results to the broadcast path (same oracle)."""
+    docs = datagen.documents_spans(spark, 200)
+    dim = datagen.valid_media_refs(spark)
+    big = referential.referential_violations_large_dim(docs, dim)
+    assert _hint_count(big) == 1
+    p = _plan(big)
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "LeftSemi" in p and "LeftAnti" in p
+    small = referential.referential_violations(docs, dim)
+    assert sorted(map(tuple, big.collect()), key=lambda t: (t[0], t[2])) == \
+           sorted(map(tuple, small.collect()), key=lambda t: (t[0], t[2]))
+    assert big.count() > 0  # datagen plants dangling refs
+
+
 def test_span_query_prunes_documents_scan(spark):
     p = _plan(DQ.q_span_kind_violations(spark, SF))
     m = re.search(r"ReadSchema: struct<([^\n]*)", p)
