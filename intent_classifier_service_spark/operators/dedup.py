@@ -350,20 +350,23 @@ def contaminated_docs(docs: DataFrame, benchmark: DataFrame, n: int = 13,
 # -------------------------------------------------- cluster resolution
 
 def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
-    """One hash-min round: deliver every neighbor's label over the
-    symmetric edge list (equi-join on src), take the per-vertex min,
-    and fold it into the current label. Exposed separately so the plan
-    gate can assert the round is equi-join-only (no CartesianProduct) —
-    the loop's localCheckpoint truncation hides it from the final
-    DataFrame's plan."""
-    nbr = (
+    """One hash-min hop: deliver every neighbor's label over the
+    symmetric edge list (equi-join on src), union the vertices' own
+    labels, take the per-vertex min → the new (id, label) table.
+    Exposed separately so the plan gate can assert the hop is
+    equi-join-only (no CartesianProduct) — the loop's localCheckpoint
+    truncation hides it from the final DataFrame's plan."""
+    delivered = (
         edges.join(labels.withColumnRenamed("id", "src"), "src")
-        .groupBy(F.col("dst").alias("id"))
-        .agg(F.min("label").alias("nbr_min"))
+        .select(F.col("dst").alias("id"), "label")
     )
-    return labels.join(nbr, "id", "left").select(
-        "id", "label",
-        F.least("label", "nbr_min").alias("new_label"),  # least skips nulls
+    # Self-delivery via union instead of a join-back: two shuffles per
+    # hop (src-join + id-groupBy) instead of three, and vertices with
+    # no incoming edge keep their label through the union leg.
+    return (
+        delivered.unionByName(labels)
+        .groupBy("id")
+        .agg(F.min("label").alias("label"))
     )
 
 
@@ -414,25 +417,33 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         .localCheckpoint()
     )
     try:
+        # Monotone-sum convergence: every hop can only DECREASE a
+        # vertex's label (min over neighbors ∪ self), so the exact sum
+        # of all labels is strictly decreasing until the fixpoint —
+        # sum unchanged across a full iteration ⟺ no vertex changed in
+        # any of its hops ⟺ converged. One tiny agg job per iteration
+        # on the just-checkpointed table replaces the old per-label
+        # comparison; decimal(38,0) keeps the sum exact (no long
+        # overflow at 10^12 ids under ANSI mode, no FP rounding).
+        def _label_sum(lb) -> str:
+            row = lb.agg(
+                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
+            ).collect()[0]
+            return str(row["s"])
+
+        prev_sum = _label_sum(labels)
         for _ in range(max_iter):
             # THREE hops per materialization: the per-iteration fixed
-            # costs (checkpoint job + convergence count) dominate at
-            # small label tables, so amortize them over three rounds.
-            # Detecting changes on the LAST hop only is sound: the
-            # propagate operator is deterministic and monotone, so
-            # prop(x) == x is a fixpoint regardless of what earlier
-            # hops did — no-change-on-hop-3 ⇒ converged.
-            mid1 = _propagate_round(edges, labels).select(
-                "id", F.col("new_label").alias("label")
-            )
-            mid2 = _propagate_round(edges, mid1).select(
-                "id", F.col("new_label").alias("label")
-            )
-            stepped = _propagate_round(edges, mid2).localCheckpoint()
-            changed = stepped.filter(F.col("new_label") < F.col("label")).count()
-            labels = stepped.select("id", F.col("new_label").alias("label"))
-            if changed == 0:
+            # costs (checkpoint job + convergence agg) dominate at
+            # small label tables, so amortize them over three hops.
+            stepped = _propagate_round(
+                edges, _propagate_round(edges, _propagate_round(edges, labels))
+            ).localCheckpoint()
+            labels = stepped
+            cur_sum = _label_sum(labels)
+            if cur_sum == prev_sum:
                 return labels.select("id", F.col("label").alias("cluster_id"))
+            prev_sum = cur_sum
         raise RuntimeError(
             f"neardup_clusters: not converged after {max_iter} rounds "
             f"({3 * max_iter} propagation hops) — the pair graph has a "
