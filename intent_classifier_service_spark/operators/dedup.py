@@ -383,15 +383,18 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     generalized from equality groups to the similarity graph).
 
     Algorithm: hash-min label propagation — every vertex starts
-    labelled with itself; each round, every vertex takes the min of its
-    own label and its neighbors' labels; converged when no label
-    changes. Everything is equi-joins + groupBy.min (plan-gated against
-    CartesianProduct in tests/test_physical_plans.py): per round, one
+    labelled with min(self, neighbors) (the seeded init: one free hop
+    in the same shuffle the plain init would cost), then each hop
+    takes the min of its own and its neighbors' labels; converged when
+    the exact label sum stops changing across an iteration of three
+    hops. Everything is equi-joins + groupBy.min (plan-gated against
+    CartesianProduct in tests/test_physical_plans.py): per hop, one
     shuffle to deliver neighbor labels and one to re-key — both on
-    uniform id keys. Rounds needed = graph diameter; near-dup graphs
-    are cliques (diameter 1) and short chains, so convergence is fast;
-    a graph still unconverged after ``max_iter`` raises rather than
-    returning silently-wrong clusters.
+    uniform id keys. Total hops needed = graph diameter; near-dup
+    graphs are cliques (diameter 1, covered by the seed alone) and
+    short chains, so one 3-hop iteration plus one confirming iteration
+    is the common case; a graph still unconverged after ``max_iter``
+    iterations raises rather than returning silently-wrong clusters.
 
     Scale notes (100 TB): the vertex set is only the DUPLICATE
     CANDIDATES (ids in pairs), a small fraction of the corpus. Labels
