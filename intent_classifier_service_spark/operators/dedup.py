@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType
+from pyspark.sql.types import ArrayType, LongType, NumericType
 
 # ------------------------------------------------------------------ exact
 
@@ -428,11 +428,22 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # on the just-checkpointed table replaces the old per-label
         # comparison; decimal(38,0) keeps the sum exact (no long
         # overflow at 10^12 ids under ANSI mode, no FP rounding).
+        # Non-numeric (string) ids can't ride the exact sum — the cast
+        # would null out and every iteration would compare None==None,
+        # converging after ONE round no matter the graph. For those the
+        # witness is sum(xxhash64(label)): labels still only move
+        # toward the fixpoint, so "some label changed" ⟺ the hash
+        # multiset changed, detected unless the 64-bit sums collide.
+        numeric_labels = isinstance(
+            labels.schema["label"].dataType, NumericType
+        )
+
         def _label_sum(lb) -> str:
-            row = lb.agg(
-                F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
-            ).collect()[0]
-            return str(row["s"])
+            if numeric_labels:
+                expr = F.sum(F.col("label").cast("decimal(38,0)"))
+            else:
+                expr = F.sum(F.xxhash64("label").cast("decimal(38,0)"))
+            return str(lb.agg(expr.alias("s")).collect()[0]["s"])
 
         prev_sum = _label_sum(labels)
         for _ in range(max_iter):

@@ -95,8 +95,16 @@ def violations_from_hashed_counts(dups: DataFrame, names: DataFrame) -> DataFram
     completed partition (its names are checkpointed — required by
     global_state_covers) or a pending one. Output is row-identical to
     uniqueness_violations on the full table, modulo 128-bit hash
-    collisions (≈10⁻¹⁵ expected at 10^12 ids — see hash_doc_counts)."""
-    resolved = dups.join(names.distinct(), ["h1", "h2"]).select(
-        "doc_id", "n_occurrences"
+    collisions (≈10⁻¹⁵ expected at 10^12 ids — see hash_doc_counts).
+
+    Shuffle shape: JOIN FIRST, distinct after — ``names`` carries one
+    row per pending-partition doc, so distincting it up front would
+    shuffle O(pending) rows; joining the tiny ``dups`` set first (AQE
+    broadcasts it) restricts to the duplicate hashes map-side, and the
+    source-dedup distinct then runs on duplicate-sized data."""
+    resolved = (
+        dups.join(names, ["h1", "h2"])
+        .select("doc_id", "n_occurrences")
+        .distinct()
     )
     return _emit_rows(resolved)

@@ -201,6 +201,19 @@ def test_neardup_clusters_long_path_converges(spark):
         dedup.neardup_clusters(pairs, max_iter=3)
 
 
+def test_neardup_clusters_string_ids(spark):
+    """String doc ids (the input_hint's doc_id:string shape) ride the
+    hashed-label convergence witness: the exact-decimal sum would cast
+    to null and compare None==None, falsely converging after one
+    round — on this 12-hop chain that would leave far vertices
+    mislabelled. Lexicographic min is the survivor convention."""
+    chain = [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(12)]
+    pairs = spark.createDataFrame(chain, "id_a string, id_b string")
+    got = dedup.neardup_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {"d00"}
+    assert len(got) == 13
+
+
 def test_neardup_dedup_composes_with_minhash(spark):
     """End-to-end: MinHash+LSH pair generation feeding the cluster
     resolver — three mutually-near docs collapse to one survivor."""
