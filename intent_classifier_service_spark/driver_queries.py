@@ -409,6 +409,47 @@ LEFT JOIN absent a USING (win)
 """
 
 
+def q_dedup_earliest_window(spark, sf_dir):
+    """Earliest-wins windowed dedup: the first event per (user_id,
+    1-day event-time window) with deterministic full-row tie-break —
+    the EXACT expression dedup_stream_earliest runs on a watermarked
+    stream (operators/dedup.earliest_per_window: one shuffle,
+    min(struct) with map-side partial), so the streaming operator's
+    survivor semantics get an oracle row even though the stream itself
+    cannot. Timestamps projected as microsecond strings and the window
+    start as a date string (dtype-parity rules)."""
+    from .operators import dedup
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type", "value"
+    )
+    out = dedup.earliest_per_window(ev, "ts", ["user_id"], "1 day")
+    return out.select(
+        F.date_format("_win.start", "yyyy-MM-dd").alias("win_start"),
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("first_ts"),
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+    )
+
+
+SQL_DEDUP_EARLIEST_WINDOW = """
+WITH r AS (
+  SELECT date_trunc('day', ts) AS win, user_id, ts, event_id, event_type,
+         value,
+         row_number() OVER (PARTITION BY date_trunc('day', ts), user_id
+                            ORDER BY ts, event_id, event_type, value) AS rn
+  FROM events WHERE ts IS NOT NULL
+)
+SELECT strftime(win, '%Y-%m-%d') AS win_start,
+       user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       event_id, event_type, round(value, 6) AS value
+FROM r WHERE rn = 1
+"""
+
+
 def q_eval_per_class_prf(spark, sf_dir):
     df = _eval_frame(spark, sf_dir)
     return metrics.per_class_prf(metrics.per_class_counts(df)).select(
@@ -2947,6 +2988,10 @@ QUERIES = {
     # non-broadcastable dims)
     "referential_media_refs_large_dim": (
         q_referential_media_refs_large_dim, SQL_REF_MEDIA),
+    # earliest-wins windowed dedup — the batch oracle for
+    # dedup_stream_earliest's survivor semantics
+    "dedup_earliest_window": (
+        q_dedup_earliest_window, SQL_DEDUP_EARLIEST_WINDOW),
     # -- (c) implementation changed this round -------------------------
     "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
     "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),

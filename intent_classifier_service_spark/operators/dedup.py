@@ -522,6 +522,43 @@ def neardup_dedup(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 # ------------------------------------------------------------------ simhash
 
+def earliest_per_window(df: DataFrame, ts_col: str, key_cols: list[str],
+                        window: str = "1 day") -> DataFrame:
+    """Earliest-wins dedup within an event-time window: one row per
+    (key, window), the survivor being the row with the MINIMUM event
+    time, ties broken lexicographically over the remaining columns —
+    fully deterministic regardless of arrival or partition order.
+
+    The reduction is ``min(struct(ts, payload...))``: a declarative
+    JVM aggregate with a map-side partial min, so the whole operator
+    is ONE shuffle on uniform (key, window) keys and the per-group
+    state is a single struct. The same expression runs unchanged on a
+    watermarked STREAMING frame (streaming/validate_stream.
+    dedup_stream_earliest wraps it) — which is the point: Structured
+    Streaming's dropDuplicatesWithinWatermark keeps an arbitrary
+    first-OBSERVED row, while an ordered min-reduction cannot be
+    swayed by micro-batch arrival order.
+
+    Null ``ts_col`` rows are dropped (Spark orders null structs first
+    in min while SQL engines default NULLS LAST — excluding them keeps
+    the semantics engine-portable; a null event time has no place in
+    an event-time dedup anyway).
+    """
+    payload = [c for c in df.columns if c != ts_col and c not in key_cols]
+    best = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(F.window(ts_col, window).alias("_win"), *key_cols)
+        .agg(F.min(F.struct(F.col(ts_col), *[F.col(c) for c in payload]))
+             .alias("_b"))
+    )
+    return best.select(
+        F.col("_win"),
+        *key_cols,
+        F.col(f"_b.{ts_col}").alias(ts_col),
+        *[F.col(f"_b.{c}").alias(c) for c in payload],
+    )
+
+
 def simhash64(docs: DataFrame, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """(id, simhash: long) — 64-bit SimHash over token hashes.

@@ -76,8 +76,8 @@ def dedup_stream(docs_stream: DataFrame, ts_col: str,
     survives — dropDuplicatesWithinWatermark keeps the first-OBSERVED
     row, and within a micro-batch (or an availableNow drain) there is
     no event-time ordering guarantee, so the survivor is not
-    necessarily the earliest arrival (pre-aggregate min-by-ts per id
-    upstream if first-by-event-time matters). Per-id state is evicted
+    necessarily the earliest arrival (use dedup_stream_earliest below
+    when first-by-event-time matters). Per-id state is evicted
     once the watermark passes its event time, so state size is bounded
     by arrival rate × watermark, not by corpus size. The streaming complement of the batch salted
     uniqueness rule — exact global uniqueness needs unbounded state on
@@ -85,6 +85,34 @@ def dedup_stream(docs_stream: DataFrame, ts_col: str,
     lateness contract), and the batch layer owns the full-corpus check."""
     return docs_stream.withWatermark(ts_col, watermark) \
         .dropDuplicatesWithinWatermark([id_col])
+
+
+def dedup_stream_earliest(docs_stream: DataFrame, ts_col: str,
+                          window: str = "10 minutes",
+                          watermark: str = "30 minutes",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Earliest-wins streaming dedup: one survivor per (id, event-time
+    window), the row with the MINIMUM event time (full-row
+    lexicographic tie-break) — the DETERMINISTIC variant dedup_stream
+    cannot provide, since dropDuplicatesWithinWatermark keeps whichever
+    copy a micro-batch happened to observe first. The reduction is the
+    shared batch expression (operators/dedup.earliest_per_window:
+    watermarked groupBy(window, id).min(struct(ts, payload))), so the
+    batch query q_dedup_earliest_window oracles the exact semantics
+    the stream runs.
+
+    The trade vs dedup_stream: the dedup horizon is the WINDOW (an id
+    recurring in two windows survives twice), and survivors emit only
+    when the watermark closes their window — deterministic-but-late vs
+    immediate-but-arbitrary. State is one struct per (id, open
+    window), bounded by arrival rate × window and evicted at the
+    watermark."""
+    from ..operators.dedup import earliest_per_window
+
+    return earliest_per_window(
+        docs_stream.withWatermark(ts_col, watermark),
+        ts_col, [id_col], window,
+    )
 
 
 def windowed_drift_psi(docs_stream: DataFrame, ts_col: str,

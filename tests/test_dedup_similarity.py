@@ -262,3 +262,24 @@ def test_contaminated_docs_short_doc_whole_text_shingle(spark):
     )
     got = [r["doc_id"] for r in dedup.contaminated_docs(corpus, bench, n=8).collect()]
     assert got == [1]
+
+
+def test_earliest_per_window_deterministic_tiebreak(spark):
+    """Min event time wins; an equal-ts tie falls to lexicographic
+    payload order; null-ts rows are dropped (engine-portable NULL
+    ordering — see the operator docstring)."""
+    rows = [(1, "2024-01-01 00:02:00", "b"), (1, "2024-01-01 00:02:00", "a"),
+            (1, "2024-01-01 00:01:00", "z"), (2, "2024-01-01 00:03:00", "x"),
+            (3, None, "null-ts-dropped")]
+    df = spark.createDataFrame(rows, "k long, ts string, v string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = dedup.earliest_per_window(df, "ts", ["k"], "1 day").collect()
+    got = {r["k"]: (str(r["ts"]), r["v"]) for r in out}
+    assert set(got) == {1, 2}                       # null-ts key dropped
+    assert got[1] == ("2024-01-01 00:01:00", "z")   # min ts wins
+    assert got[2] == ("2024-01-01 00:03:00", "x")
+
+    out2 = dedup.earliest_per_window(
+        df.filter(F.col("v") != "z"), "ts", ["k"], "1 day"
+    ).collect()
+    assert {r["k"]: r["v"] for r in out2}[1] == "a"  # tie → lexicographic

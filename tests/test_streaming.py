@@ -415,3 +415,45 @@ def test_dedup_stream_drops_in_watermark_duplicates(spark, tmp_path):
     assert n_distinct < 300          # the injected dups are really there
     assert got.count() == n_distinct            # one row per distinct id
     assert got.select("doc_id").distinct().count() == n_distinct
+
+
+def test_dedup_stream_earliest_keeps_min_event_time(spark, tmp_path):
+    """Earliest-wins determinism: the LATE copies (ts = t0+5min) are
+    written first — so dropDuplicatesWithinWatermark-style
+    first-observed semantics would keep them — but the survivors must
+    all be the EARLY copies (ts = t0+1min) because the reduction is an
+    ordered min over event time, not arrival order. A far-future flush
+    row advances the watermark past the window so it emits; its own
+    window stays open and is not emitted."""
+    in_dir = str(tmp_path / "de_in")
+    out_dir = str(tmp_path / "de_out")
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    base = datagen.documents_spans(spark, 100)
+    late_first = base.withColumn("part_key", F.lit(111)) \
+        .withColumn("ts", t0 + F.make_interval(mins=F.lit(5)))
+    early_second = base.withColumn("part_key", F.lit(222)) \
+        .withColumn("ts", t0 + F.make_interval(mins=F.lit(1)))
+    flush = base.limit(1).withColumn("doc_id", F.lit("zzz-flush")) \
+        .withColumn("part_key", F.lit(333)) \
+        .withColumn("ts", t0 + F.make_interval(days=F.lit(2)))
+    late_first.write.parquet(in_dir)                      # observed FIRST
+    early_second.unionByName(flush).write.mode("append").parquet(in_dir)
+
+    stream = spark.readStream.schema(
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>, part_key int, ts timestamp"
+    ).parquet(in_dir)
+    out = VS.dedup_stream_earliest(stream, "ts", window="10 minutes",
+                                   watermark="30 minutes")
+    q = (
+        out.writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "de_ckpt"))
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out_dir)
+    n_distinct = base.select("doc_id").distinct().count()
+    assert got.count() == n_distinct          # one survivor per id/window
+    assert got.filter(F.col("part_key") != 222).count() == 0   # early wins
+    assert got.filter(F.col("doc_id") == "zzz-flush").count() == 0
+    assert got.select("ts").distinct().count() == 1           # all t0+1min
