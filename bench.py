@@ -62,6 +62,7 @@ def _headline_queries():
         "pii_scrub": DQ.q_pii_scrub,
         "embedding_stats": DQ.q_embedding_stats,
         "referential_large_dim": DQ.q_referential_media_refs_large_dim,
+        "dedup_earliest_window": DQ.q_dedup_earliest_window,
     }
 
 
