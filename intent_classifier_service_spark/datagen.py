@@ -15,6 +15,7 @@ cells 4-16 and model_evaluation/malformed_responses.txt.
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -165,3 +166,59 @@ def queries_labeled(spark: SparkSession, n_rows: int = 848) -> DataFrame:
         predicted.alias("predicted_intents"),
         raw.alias("raw_response"),
     )
+
+
+# ----------------------------------------------------- media payloads
+# Real decodable media bytes (uncompressed 24-bit BMP / PCM-16 WAV via
+# the pure-numpy codecs in operators.multimodal) derived from the media
+# ref number k — formula-based like everything else here. The content
+# is deliberately CONSTANT per payload (one color / one amplitude) so
+# the decoded features (mean RGB, dims, RMS, peak, duration) are exact
+# k-arithmetic, expressible in the driver's DuckDB oracles: real decode
+# kernels get value-level correctness rows, not just plumbing checks.
+
+def media_payload_image(k: int) -> bytes:
+    """(4 + k%5) x (3 + k%7) BMP filled with RGB
+    (k%256, (3k+7)%256, (5k+11)%256) → decoded mean_r == k%256 exactly
+    (mean of identical uint8 is an exact small-int double)."""
+    from .operators.multimodal import encode_bmp
+    w, h = 4 + k % 5, 3 + k % 7
+    color = (k % 256, (3 * k + 7) % 256, (5 * k + 11) % 256)
+    return encode_bmp(np.full((h, w, 3), color, dtype=np.uint8))
+
+
+def media_payload_audio(k: int) -> bytes:
+    """0.1 s @ 16 kHz PCM-16 WAV at constant amplitude (k%32)*1024 →
+    decoded rms == peak == (k%32)/32 exactly (power-of-two divisor:
+    float32-representable; constant samples: the mean of identical
+    exact squares is exact), zcr == 0, duration == 0.1."""
+    from .operators.multimodal import encode_wav_pcm16
+    a = (k % 32) * 1024
+    return encode_wav_pcm16(np.full(1600, a, dtype=np.int16), 16000)
+
+
+def attach_media_payloads(df: DataFrame, kind: str = "image",
+                          ref_col: str = "media_ref") -> DataFrame:
+    """Attach real decodable payload bytes to a refs frame, ref →
+    bytes via the k = int(ref[6:]) formula ('media-%05d' refs). Python
+    byte assembly → mapInPandas (datagen/probe path, not a hot path);
+    null refs get null payloads."""
+    from pyspark.sql.types import BinaryType, StructField, StructType
+
+    gen = media_payload_image if kind == "image" else media_payload_audio
+    # fresh StructType — StructType.add MUTATES the frame's cached
+    # schema in place, making mapInPandas resolve a phantom input column
+    out_schema = StructType(
+        list(df.schema.fields) + [StructField("payload", BinaryType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                None if ref is None else gen(int(str(ref)[6:]))
+                for ref in pdf[ref_col]
+            ]
+            yield pdf
+
+    return df.mapInPandas(run, schema=out_schema)

@@ -33,7 +33,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, LongType, NumericType
+from pyspark.sql.types import ArrayType, IntegralType, LongType
 
 # ------------------------------------------------------------------ exact
 
@@ -74,6 +74,136 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     with_d = docs.withColumn("_digest", F.xxhash64(normalized_text(text_col)))
     keep = with_d.groupBy("_digest").agg(F.min(id_col).alias(id_col))
     return with_d.join(keep, ["_digest", id_col], "left_semi").drop("_digest")
+
+
+# ------------------------------------------------------- paragraph-level
+
+# Paragraph boundary: one-or-more newlines. Blank-line-separated
+# ("\n\n") and line-grained corpora both reduce to this; the split
+# regex is shared verbatim with the DuckDB oracle.
+PARA_SPLIT_RE = r"\n+"
+
+
+def _paragraphs(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, para_index, para): posexplode of the regex-split text,
+    paragraphs trimmed. para_index is the 0-based position in the
+    ORIGINAL split, so surviving paragraphs re-join in document order
+    even after some are filtered or stripped."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), PARA_SPLIT_RE))
+        .alias("para_index", "para"),
+    ).withColumn("para", F.trim("para"))
+
+
+def paragraph_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", min_chars: int = 30,
+                         keep_text: bool = False) -> DataFrame:
+    """Cross-document duplicate paragraphs — the Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) within-corpus substring problem at paragraph
+    grain, the standard boilerplate killer between whole-doc dedup and
+    benchmark n-gram decontamination. Emits one violation row per
+    OCCURRENCE of a paragraph whose trimmed text appears in more than
+    one distinct document: (id, para_index, para_hash, n_docs_sharing)
+    (+ the paragraph text when ``keep_text`` — test/oracle use; at
+    100 TB the 64-bit hash is the key that travels).
+
+    Paragraphs shorter than ``min_chars`` after trim are ignored:
+    short lines ("Introduction", list bullets) are near-universal and
+    would flag everything while carrying no dedup value — the same
+    df-cap reasoning as ngram_jaccard's stop-shingles.
+
+    Scale shape (100 TB): explode → xxhash64 → (a) distinct on
+    (id, hash) — ONE shuffle on a uniform composite key (a boilerplate
+    paragraph in 10^9 docs still spreads across all partitions);
+    (b) count per hash with map-side partial agg; (c) join the
+    (typically tiny) duplicated-hash dimension back to occurrences —
+    AQE broadcasts it. Within-doc repeats count ONCE toward
+    n_docs_sharing (it is a distinct-doc count), and only cross-doc
+    sharing flags — a doc quoting itself is repetition
+    (textstats.repeated_line_fraction), not corpus boilerplate."""
+    occ = _paragraphs(docs, id_col, text_col).filter(
+        F.length("para") >= min_chars
+    )
+    cols = [F.col(id_col), "para_index", F.xxhash64("para").alias("para_hash")]
+    if keep_text:
+        cols.append(F.col("para"))
+    occ = occ.select(*cols)
+    sharing = (
+        occ.select(id_col, "para_hash").distinct()
+        .groupBy("para_hash")
+        .agg(F.count(F.lit(1)).alias("n_docs_sharing"))
+        .filter(F.col("n_docs_sharing") > 1)
+    )
+    return occ.join(sharing, "para_hash").select(
+        id_col, "para_index",
+        *(["para"] if keep_text else ["para_hash"]),
+        "n_docs_sharing",
+    )
+
+
+def strip_duplicate_paragraphs(docs: DataFrame, id_col: str = "doc_id",
+                               text_col: str = "text",
+                               min_chars: int = 30,
+                               joiner: str = "\n") -> DataFrame:
+    """The dedup DECISION for paragraph boilerplate: every occurrence
+    of a cross-doc duplicated paragraph is removed EXCEPT the globally
+    first one — deterministic min (id, para_index), matching the
+    min-id survivor convention of exact_dedup/neardup_clusters —
+    and each document's text is rebuilt from its surviving paragraphs
+    in original order. Returns (id, text) for EVERY input document
+    (a doc whose every paragraph was stripped comes back as '').
+
+    Normalization note: paragraphs are trimmed and re-joined with
+    ``joiner``, so inter-paragraph whitespace is canonicalized even in
+    untouched documents — run-idempotent by construction.
+
+    Scale shape: the keeper min(struct(id, para_index)) is a map-side-
+    combinable groupBy on the hash; the drop set (duplicate
+    occurrences minus one keeper per hash) is ≪ corpus and anti-joins
+    back on the uniform (id, para_index) key; the rebuild is one
+    groupBy per doc over its own (bounded) paragraph list."""
+    paras = _paragraphs(docs, id_col, text_col)
+    qual = paras.filter(F.length("para") >= min_chars).select(
+        F.col(id_col), "para_index", F.xxhash64("para").alias("para_hash")
+    )
+    dup_hashes = (
+        qual.select(id_col, "para_hash").distinct()
+        .groupBy("para_hash")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("para_hash")
+    )
+    dup_occ = qual.join(dup_hashes, "para_hash", "left_semi")
+    keep = dup_occ.groupBy("para_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("para_index"))).alias("_first")
+    )
+    drop = (
+        dup_occ.join(keep, "para_hash")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("para_index") == F.col("_first.para_index"))
+            )
+        )
+        .select(id_col, "para_index")
+    )
+    remaining = paras.join(drop, [id_col, "para_index"], "left_anti")
+    rebuilt = remaining.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_index", "para"))),
+                lambda s: s["para"],
+            ),
+            joiner,
+        ).alias(text_col)
+    )
+    return (
+        docs.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(F.col(id_col), F.coalesce(text_col, F.lit("")).alias(text_col))
+    )
 
 
 # ----------------------------------------------------------- shingles/jaccard
@@ -386,14 +516,15 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     labelled with min(self, neighbors) (the seeded init: one free hop
     in the same shuffle the plain init would cost), then each hop
     takes the min of its own and its neighbors' labels; converged when
-    the exact label sum stops changing across an iteration of three
-    hops. Everything is equi-joins + groupBy.min (plan-gated against
-    CartesianProduct in tests/test_physical_plans.py): per hop, one
-    shuffle to deliver neighbor labels and one to re-key — both on
-    uniform id keys. Total hops needed = graph diameter; near-dup
-    graphs are cliques (diameter 1, covered by the seed alone) and
-    short chains, so one 3-hop iteration plus one confirming iteration
-    is the common case; a graph still unconverged after ``max_iter``
+    the exact label sum stops changing across an iteration. Everything
+    is equi-joins + groupBy.min (plan-gated against CartesianProduct
+    in tests/test_physical_plans.py): per hop, one shuffle to deliver
+    neighbor labels and one to re-key — both on uniform id keys.
+    Total hops needed = graph diameter; near-dup graphs are cliques
+    (diameter 1, covered by the seed alone) and short chains, so the
+    first iteration is a SINGLE confirming hop — cliques converge in
+    1 hop + 1 agg — and only unconverged graphs escalate to 3-hop
+    iterations; a graph still unconverged after ``max_iter``
     iterations raises rather than returning silently-wrong clusters.
 
     Scale notes (100 TB): the vertex set is only the DUPLICATE
@@ -428,14 +559,17 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         # on the just-checkpointed table replaces the old per-label
         # comparison; decimal(38,0) keeps the sum exact (no long
         # overflow at 10^12 ids under ANSI mode, no FP rounding).
-        # Non-numeric (string) ids can't ride the exact sum — the cast
-        # would null out and every iteration would compare None==None,
-        # converging after ONE round no matter the graph. For those the
-        # witness is sum(xxhash64(label)): labels still only move
+        # Non-INTEGRAL ids can't ride the exact sum: string labels
+        # cast to null (every iteration would compare None==None,
+        # "converging" after ONE round no matter the graph), and
+        # float/double labels ROUND on the decimal(38,0) cast — a
+        # label move like 2.6→2.5 can leave the rounded sum unchanged
+        # and return early with wrong clusters. Both route through the
+        # sum(xxhash64(label)) witness instead: labels still only move
         # toward the fixpoint, so "some label changed" ⟺ the hash
         # multiset changed, detected unless the 64-bit sums collide.
         numeric_labels = isinstance(
-            labels.schema["label"].dataType, NumericType
+            labels.schema["label"].dataType, IntegralType
         )
 
         def _label_sum(lb) -> str:
@@ -446,23 +580,28 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             return str(lb.agg(expr.alias("s")).collect()[0]["s"])
 
         prev_sum = _label_sum(labels)
-        for _ in range(max_iter):
-            # THREE hops per materialization: the per-iteration fixed
-            # costs (checkpoint job + convergence agg) dominate at
-            # small label tables, so amortize them over three hops.
-            stepped = _propagate_round(
-                edges, _propagate_round(edges, _propagate_round(edges, labels))
-            ).localCheckpoint()
-            labels = stepped
+        for it in range(max_iter):
+            # Iteration 0 is a SINGLE hop with its own convergence
+            # check: the seeded init already covers diameter-1 graphs
+            # (cliques — the common near-dup case), so those finish in
+            # one confirming hop + one agg instead of paying a 3-hop
+            # floor. Graphs still unconverged after that escalate to
+            # THREE hops per materialization, amortizing the
+            # per-iteration fixed costs (checkpoint job + convergence
+            # agg) that dominate at small label tables.
+            stepped = labels
+            for _ in range(1 if it == 0 else 3):
+                stepped = _propagate_round(edges, stepped)
+            labels = stepped.localCheckpoint()
             cur_sum = _label_sum(labels)
             if cur_sum == prev_sum:
                 return labels.select("id", F.col("label").alias("cluster_id"))
             prev_sum = cur_sum
         raise RuntimeError(
             f"neardup_clusters: not converged after {max_iter} rounds "
-            f"({3 * max_iter} propagation hops) — the pair graph has a "
-            "longer path; raise max_iter (each round covers three more "
-            "hops of graph diameter)"
+            f"({1 + 3 * (max_iter - 1)} propagation hops) — the pair "
+            "graph has a longer path; raise max_iter (each round past "
+            "the first covers three more hops of graph diameter)"
         )
     finally:
         edges.unpersist()
@@ -542,7 +681,11 @@ def earliest_per_window(df: DataFrame, ts_col: str, key_cols: list[str],
     Null ``ts_col`` rows are dropped (Spark orders null structs first
     in min while SQL engines default NULLS LAST — excluding them keeps
     the semantics engine-portable; a null event time has no place in
-    an event-time dedup anyway).
+    an event-time dedup anyway). Null PAYLOAD fields can still appear
+    on equal-ts ties: Spark's struct ordering sorts a null field
+    BEFORE any value, i.e. NULLS FIRST — a SQL oracle replicating the
+    survivor must say ``ORDER BY ts, payload NULLS FIRST`` explicitly
+    (engines default to NULLS LAST in ascending ORDER BY).
     """
     payload = [c for c in df.columns if c != ts_col and c not in key_cols]
     best = (

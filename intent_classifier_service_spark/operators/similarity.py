@@ -302,6 +302,69 @@ def ivf_topk(embeddings: DataFrame, queries: list[tuple[int, list[float]]],
     )
 
 
+def _assign_cells(embeddings: DataFrame, centroids: np.ndarray,
+                  id_col: str, vec_col: str) -> DataFrame:
+    """(id, vec, cell): nearest-centroid assignment via one whole-batch
+    matmul per Arrow batch — shared by index build and append."""
+
+    def assign(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+            cells = np.argmax((mat / norms) @ centroids.T, axis=1)
+            out = pdf[[id_col, vec_col]].copy()
+            out["cell"] = cells.astype(np.int32)
+            yield out
+
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+
+
+# Rebalance criterion recorded in the index manifest: when the largest
+# cell exceeds this multiple of the mean cell size, probing that cell
+# costs ~skew× the average scan and the index should be REBUILT
+# (re-trained centroids), not appended to further. Appends never
+# retrain, so drifted new data degrades gradually and visibly here.
+IVF_REBALANCE_SKEW = 4.0
+
+
+def _write_ivf_manifest(path: str, cell_counts: dict[int, int],
+                        n_appends: int, append_counts: list[int]) -> dict:
+    """Index manifest (JSON next to cells/ + centroids/): total size,
+    per-append history, cell-size skew, and the rebalance verdict —
+    the metadata a 100 TB deployment checks before yet another append."""
+    import json
+
+    sizes = list(cell_counts.values())
+    mean = (sum(sizes) / len(sizes)) if sizes else 0.0
+    skew = (max(sizes) / mean) if mean > 0 else 0.0
+    manifest = {
+        "n_vectors": sum(sizes),
+        "n_cells": len(sizes),
+        "n_appends": n_appends,
+        "append_counts": append_counts,
+        "max_cell": max(sizes) if sizes else 0,
+        "mean_cell": mean,
+        "cell_skew": skew,
+        "rebalance_skew_threshold": IVF_REBALANCE_SKEW,
+        "rebalance_recommended": skew > IVF_REBALANCE_SKEW,
+    }
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def _read_ivf_manifest(path: str) -> dict | None:
+    import json
+
+    p = os.path.join(path, "manifest.json")
+    if not os.path.exists(p):
+        return None  # pre-manifest index (built before round 6)
+    with open(p) as f:
+        return json.load(f)
+
+
 def build_ivf_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     seed: int = 7, kmeans_sample: int = 4096,
@@ -316,18 +379,7 @@ def build_ivf_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
     centroids = _spherical_kmeans(sample, min(n_centroids, len(sample)),
                                   kmeans_iters, seed)
 
-    def assign(batches):
-        for pdf in batches:
-            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            norms = np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-            cells = np.argmax((mat / norms) @ centroids.T, axis=1)
-            out = pdf[[id_col, vec_col]].copy()
-            out["cell"] = cells.astype(np.int32)
-            yield out
-
-    assigned = embeddings.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
-    )
+    assigned = _assign_cells(embeddings, centroids, id_col, vec_col)
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "cells")
     )
@@ -337,7 +389,54 @@ def build_ivf_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
         "cell int, centroid array<double>",
     )
     cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    counts = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(os.path.join(path, "cells"))
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }  # n_centroids rows — metadata-sized collect
+    _write_ivf_manifest(path, counts, n_appends=0,
+                        append_counts=[sum(counts.values())])
     return centroids
+
+
+def append_to_ivf_index(spark, path: str, new_embeddings: DataFrame,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> dict:
+    """Incrementally append vectors to a persisted IVF index: assign to
+    the EXISTING centroids (no retrain — query-time probe order stays
+    stable and old cells are never rewritten) and APPEND parquet files
+    into the matching cell partitions. Returns the updated manifest.
+
+    Scale shape: the append touches only the new vectors (one matmul
+    pass + one partitioned write); existing cell files are immutable.
+    The cost of never retraining is drift — new data far from any
+    trained centroid piles into its nearest cell, so the manifest
+    recomputes cell-size skew on every append and flips
+    ``rebalance_recommended`` once max/mean exceeds
+    ``IVF_REBALANCE_SKEW`` (at that point a probe of the hot cell scans
+    ~skew× the average: rebuild with build_ivf_index)."""
+    crows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    centroids = np.zeros((len(crows), len(crows[0]["centroid"])))
+    for r in crows:
+        centroids[r["cell"]] = r["centroid"]
+
+    assigned = _assign_cells(new_embeddings, centroids, id_col, vec_col)
+    assigned.write.mode("append").partitionBy("cell").parquet(
+        os.path.join(path, "cells")
+    )
+    counts = {
+        r["cell"]: r["n"]
+        for r in spark.read.parquet(os.path.join(path, "cells"))
+        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    prior = _read_ivf_manifest(path)
+    prior_appends = prior["n_appends"] if prior else 0
+    prior_counts = prior["append_counts"] if prior else []
+    appended = sum(counts.values()) - (prior["n_vectors"] if prior else 0)
+    return _write_ivf_manifest(
+        path, counts, n_appends=prior_appends + 1,
+        append_counts=prior_counts + [appended],
+    )
 
 
 def ivf_topk_indexed(spark, path: str, queries: list[tuple[int, list[float]]],

@@ -253,13 +253,18 @@ def text_profile(docs: DataFrame, id_col: str = "doc_id",
 
 
 # PII patterns: kept deliberately simple and identical in Java regex
-# and RE2 semantics (character classes + bounded quantifiers only — no
-# lookaround, no backrefs) so the DuckDB oracle can run the same
-# pattern verbatim. A production deployment would swap in a vetted
-# pattern pack; the engine mechanics (global JVM regexp_replace, one
-# scan, no Python) are the point here.
-PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
-PII_URL_RE = r"https?://[a-z0-9./_-]+"
+# and RE2 semantics (explicit case-folded character classes + bounded
+# quantifiers only — no lookaround, no backrefs, no inline flags) so
+# the DuckDB oracle can run the same pattern verbatim. Case-MIXED
+# emails/URLs (John.Doe@Example.COM, HTTPS://...) are covered via the
+# [A-Za-z] classes rather than (?i) to keep both engines byte-
+# identical. Counts are taken on the PRE-scrub text, so overlapping
+# spans (an email inside a URL userinfo part) count once per pattern
+# they match — documented behavior, not a bug. A production deployment
+# would swap in a vetted pattern pack; the engine mechanics (global
+# JVM regexp_replace, one scan, no Python) are the point here.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_URL_RE = r"[Hh][Tt][Tt][Pp][Ss]?://[A-Za-z0-9./_-]+"
 PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4,10}"
 
 

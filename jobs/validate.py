@@ -65,7 +65,8 @@ def _doc_counts(docs):
 
 def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = None,
         resume: bool = False, rules: R.RuleSet | None = None,
-        baseline: str | None = None, snapshot_id: str = "parquet-v0") -> dict:
+        baseline: str | None = None, snapshot_id: str = "parquet-v0",
+        dedup_survivor: str | None = None) -> dict:
     rules = rules or R.RuleSet()
     t0 = time.time()
     docs_all = docs  # the legacy (non-incremental) resume path scans it
@@ -283,6 +284,42 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
 
     gate_pass = R.gate(vd) and all(d["pass"] for d in drift_rows)
 
+    # Optional near-dup dedup stage (--dedup-survivor): MinHash+LSH →
+    # label propagation → survivor policy over the FULL corpus (a
+    # global transform like drift — resume never shrinks its input),
+    # surviving docs written to output/deduped. 'best_score' keeps the
+    # highest textstats.quality_score member per cluster (the default
+    # score a training-data pipeline wants); 'min_id' is the
+    # deterministic baseline. Independent of the gate verdict: the
+    # gate answers "is this corpus valid", dedup emits the corpus a
+    # downstream trainer should read.
+    dedup_summary = None
+    if dedup_survivor is not None:
+        from intent_classifier_service_spark.operators import dedup as D
+        from intent_classifier_service_spark.operators.drift import doc_text
+        from intent_classifier_service_spark.operators.textstats import quality_score
+
+        corpus = docs_all.withColumn("_text", doc_text())
+        pairs = D.minhash_lsh_pairs(
+            corpus.select("doc_id", F.col("_text").alias("text"))
+        )
+        score_col = None
+        if dedup_survivor == "best_score":
+            corpus = corpus.withColumn("_score", quality_score("_text"))
+            score_col = "_score"
+        kept = D.neardup_dedup(
+            corpus, pairs, survivor=dedup_survivor, score_col=score_col
+        ).drop("_text", "_score")
+        tables.write_violations(kept, os.path.join(output, "deduped"))
+        n_total = docs_all.count()
+        n_kept = spark.read.parquet(os.path.join(output, "deduped")).count()
+        dedup_summary = {
+            "survivor": dedup_survivor,
+            "n_in": n_total,
+            "n_kept": n_kept,
+            "n_dropped": n_total - n_kept,
+        }
+
     if store is not None:
         # n_docs per partition: a doc rule's n_checked counts exactly
         # one row per document (first-span or empty-doc row), so the
@@ -337,13 +374,16 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
             _df.unpersist()
     docs.unpersist()
     wall = time.time() - t0
-    return {
+    out = {
         "n_docs": n_docs,
         "gate_pass": bool(gate_pass),
         "wall_sec": wall,
         "docs_per_sec": n_docs / wall if wall > 0 else None,
         "drift": drift_rows,
     }
+    if dedup_summary is not None:
+        out["dedup"] = dedup_summary
+    return out
 
 
 def main() -> int:
@@ -359,6 +399,13 @@ def main() -> int:
                     help="per-rule gate threshold (reference: valid >= 95%%)")
     ap.add_argument("--baseline", default=None,
                     help="frozen drift-baseline parquet (written on first run if absent)")
+    ap.add_argument("--repetition-rules", action="store_true",
+                    help="add the Gopher-style intra-doc repetition DocRules "
+                         "(repeated-line fraction / top-2-gram mass) to the gate")
+    ap.add_argument("--dedup-survivor", choices=("min_id", "best_score"), default=None,
+                    help="run MinHash near-dup dedup over the corpus and write "
+                         "survivors to <output>/deduped; best_score keeps the "
+                         "highest quality_score member per cluster")
     args = ap.parse_args()
 
     spark = get_spark("validate")
@@ -396,9 +443,14 @@ def main() -> int:
         docs = datagen.documents_spans(spark, args.n_docs)
     refs = datagen.valid_media_refs(spark)
     store = CheckpointStore(spark, args.checkpoint) if args.checkpoint else None
-    rules = R.RuleSet(max_violation_rate=args.max_violation_rate)
+    doc_rules = list(R.DOC_RULES)
+    if args.repetition_rules:
+        doc_rules += R.repetition_rules()
+    rules = R.RuleSet(doc_rules=doc_rules,
+                      max_violation_rate=args.max_violation_rate)
     result = run(spark, docs, refs, args.output, store, args.resume, rules,
-                 baseline=args.baseline, snapshot_id=snapshot_id)
+                 baseline=args.baseline, snapshot_id=snapshot_id,
+                 dedup_survivor=args.dedup_survivor)
     print(json.dumps(result))
     return 0 if result["gate_pass"] else 1
 

@@ -214,6 +214,34 @@ def test_neardup_clusters_string_ids(spark):
     assert len(got) == 13
 
 
+def test_neardup_clusters_fractional_ids(spark):
+    """Fractional (double) ids must ride the hashed witness, not the
+    exact decimal sum: casting each label to decimal(38,0) ROUNDS, so
+    a hop that moves a label 2.6→2.5 (both round to 3) leaves the
+    rounded sum unchanged and the exact-sum witness would return
+    'converged' with wrong clusters. This chain is built so the first
+    post-seed hop changes ONLY 2.7's label 2.6→2.5 and 2.8's 2.7→2.6
+    — every per-label rounded value stays 3, reproducing the silent
+    premature convergence unless the hash witness is used."""
+    chain = [(2.5, 2.6), (2.6, 2.7), (2.7, 2.8)]
+    pairs = spark.createDataFrame(chain, "id_a double, id_b double")
+    got = dedup.neardup_clusters(pairs).collect()
+    assert {r["cluster_id"] for r in got} == {2.5}
+    assert len(got) == 4
+
+
+def test_earliest_per_window_null_payload_tie(spark):
+    """Equal-ts tie where payloads differ in null-ness: Spark's struct
+    min orders a null field FIRST (before any value) — pinned here
+    because a SQL oracle must say NULLS FIRST explicitly to pick the
+    same survivor (engines default to NULLS LAST)."""
+    rows = [(1, "2024-01-01 00:02:00", "a"), (1, "2024-01-01 00:02:00", None)]
+    df = spark.createDataFrame(rows, "k long, ts string, v string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    out = dedup.earliest_per_window(df, "ts", ["k"], "1 day").collect()
+    assert len(out) == 1 and out[0]["v"] is None
+
+
 def test_neardup_dedup_composes_with_minhash(spark):
     """End-to-end: MinHash+LSH pair generation feeding the cluster
     resolver — three mutually-near docs collapse to one survivor."""

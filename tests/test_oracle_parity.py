@@ -88,3 +88,19 @@ def test_every_query_is_oracled():
     duplicate top-1 invariant). A new query without an oracle fails
     here instead of silently weakening the gate."""
     assert set(entrypoint.queries()) == set(ORACLE_CASES)
+
+
+def test_driver_window_exactly_filled():
+    """The driver verifies only the FIRST DRIVER_WINDOW (50) registry
+    entries; round 5 silently overflowed to 52 and two queries fell
+    outside (advisor finding). QUERIES_HEAD must hold exactly the
+    window, lead the merged registry in order, and never overlap the
+    parked set — so adding a query without choosing what to park
+    fails HERE, not silently at the driver."""
+    from intent_classifier_service_spark import driver_queries as dq
+
+    assert len(dq.QUERIES_HEAD) == dq.DRIVER_WINDOW == 50
+    assert not set(dq.QUERIES_HEAD) & set(dq.QUERIES_PARKED)
+    merged = list(dq.QUERIES)
+    assert merged[: dq.DRIVER_WINDOW] == list(dq.QUERIES_HEAD)
+    assert set(merged) == set(dq.QUERIES_HEAD) | set(dq.QUERIES_PARKED)

@@ -22,6 +22,7 @@ def test_pii_scrub_counts_and_replacements(spark):
             (3, "call +1-555-0199 or +44-123-456789"),
             (4, "no pii here at all"),
             (5, "mixed: bob@x.co http://y.z/p +1-555-0000"),
+            (6, "case: John.Doe@Example.COM HTTPS://Host.Example.ORG/Q"),
         ],
         ["doc_id", "text"],
     )
@@ -37,6 +38,9 @@ def test_pii_scrub_counts_and_replacements(spark):
     assert out[4]["text"] == "no pii here at all"
     assert (out[5]["n_emails"], out[5]["n_urls"], out[5]["n_phones"]) == (1, 1, 1)
     assert out[5]["text"] == "mixed: <EMAIL> <URL> <PHONE>"
+    # case-MIXED PII is redacted too ([A-Za-z] classes, no (?i) flag)
+    assert (out[6]["n_emails"], out[6]["n_urls"], out[6]["n_phones"]) == (1, 1, 0)
+    assert out[6]["text"] == "case: <EMAIL> <URL>"
 
 
 def test_pii_scrub_is_pure_jvm(spark):

@@ -78,3 +78,52 @@ def test_ivf_index_build_query_and_pruning(spark, tmp_path):
     approx = topk_ids(out)
     recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivf_index_incremental_append(spark, tmp_path):
+    """Round-5 verdict #8: an index built from HALF the corpus then
+    grown with append_to_ivf_index (assign-to-existing-centroids, no
+    retrain, parquet partition append) serves ivf_topk_indexed with
+    the SAME recall bar as a one-shot build, and the manifest tracks
+    append history + the cell-skew rebalance criterion."""
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf")
+
+    similarity.build_ivf_index(first, path, n_centroids=16)
+    m0 = similarity._read_ivf_manifest(path)
+    assert m0["n_appends"] == 0 and m0["n_vectors"] == first.count()
+
+    m1 = similarity.append_to_ivf_index(spark, path, second)
+    assert m1["n_appends"] == 1
+    assert m1["n_vectors"] == emb.count()
+    assert m1["append_counts"] == [first.count(), second.count()]
+    assert isinstance(m1["rebalance_recommended"], bool)
+    assert m1["cell_skew"] <= similarity.IVF_REBALANCE_SKEW  # uniform data
+
+    # two-append index answers queries at the unchanged recall bar,
+    # including queries whose true neighbors arrived via the append
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+               for r in emb.filter(F.col("vec_id") < 4).collect()]
+    out = similarity.ivf_topk_indexed(spark, path, queries, k=10, n_probe=12)
+
+    def topk_ids(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return got
+
+    exact = topk_ids(similarity.brute_force_topk(emb, queries, k=10))
+    approx = topk_ids(out)
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    # appended vectors really landed in cell partitions (not a rewrite:
+    # the second write only appended files)
+    cells = spark.read.parquet(path + "/cells")
+    assert cells.count() == emb.count()
+    assert cells.select("vec_id").distinct().count() == emb.count()

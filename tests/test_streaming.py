@@ -457,3 +457,127 @@ def test_dedup_stream_earliest_keeps_min_event_time(spark, tmp_path):
     assert got.filter(F.col("part_key") != 222).count() == 0   # early wins
     assert got.filter(F.col("doc_id") == "zzz-flush").count() == 0
     assert got.select("ts").distinct().count() == 1           # all t0+1min
+
+
+def _run_sessionize_until_done(spark, in_dir, ckpt, out_dir, gap_minutes=30):
+    """One AvailableNow pass of the stateful sessionizer: consume
+    whatever files exist under in_dir (1 file per micro-batch), append
+    closed sessions to out_dir parquet via foreachBatch (the
+    checkpoint-recoverable sink for update-mode stateful output),
+    then stop — i.e. one 'process lifetime'."""
+    from intent_classifier_service_spark.streaming.sessions_stream import sessionize_stream
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+
+    def sink(batch_df, _bid):
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        sessionize_stream(stream, gap_minutes=gap_minutes)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+
+def test_sessionize_stream_checkpoint_recovery(spark, tmp_path):
+    """Crash-recovery (round-5 verdict #5): run AvailableNow over HALF
+    the input, stop the query, restart a NEW query from the SAME
+    checkpoint with the rest of the input present — the union of
+    emitted sessions must equal a single uninterrupted run: the open
+    session in the state store survives the restart (closed later, not
+    lost), the session already emitted before the stop is not
+    re-emitted (no duplicates)."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    # file 1 (first lifetime): user 1's 12:00-12:10 session CLOSES
+    # in-batch (the 14:00 event is > gap away and opens a new one);
+    # user 2 opens at 12:00.
+    file1 = [(1, m(0)), (1, m(5)), (1, m(10)), (1, m(120)), (2, m(0))]
+    # file 2 (after restart): closes user 1's 14:00 session (singleton)
+    # and user 2's 12:00-12:03 pair; the closers stay open (in state).
+    file2 = [(1, m(270)), (2, m(3)), (2, m(180))]
+    expect = {(1, 3, 600), (1, 1, 0), (2, 2, 180)}
+
+    spark.createDataFrame(file1, "user_id long, ts timestamp") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    _run_sessionize_until_done(spark, in_dir, ckpt, out_dir)
+    phase1 = {(r["user_id"], r["n_events"], r["duration_sec"])
+              for r in spark.read.parquet(out_dir).collect()}
+    assert phase1 == {(1, 3, 600)}  # only the in-batch closure so far
+
+    spark.createDataFrame(file2, "user_id long, ts timestamp") \
+        .coalesce(1).write.mode("append").parquet(in_dir)
+    _run_sessionize_until_done(spark, in_dir, ckpt, out_dir)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 3  # no duplicated closures across the restart
+    assert {(r["user_id"], r["n_events"], r["duration_sec"])
+            for r in got.collect()} == expect
+
+    # reference: one uninterrupted run over the same two files
+    solo_out = str(tmp_path / "solo_out")
+    _run_sessionize_until_done(spark, in_dir, str(tmp_path / "solo_ckpt"),
+                               solo_out)
+    solo = spark.read.parquet(solo_out)
+    assert solo.count() == 3
+    assert {(r["user_id"], r["n_events"], r["duration_sec"])
+            for r in solo.collect()} == expect
+
+
+def test_dedup_earliest_stream_checkpoint_recovery(spark, tmp_path):
+    """Watermarked-aggregation state recovery: the window opened before
+    the stop must still dedup (and eventually emit) rows arriving after
+    the restart — survivors identical to an uninterrupted run."""
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    base = datagen.documents_spans(spark, 60)
+    late = base.withColumn("part_key", F.lit(111)) \
+        .withColumn("ts", t0 + F.make_interval(mins=F.lit(5)))
+    early = base.withColumn("part_key", F.lit(222)) \
+        .withColumn("ts", t0 + F.make_interval(mins=F.lit(1)))
+    flush = base.limit(1).withColumn("doc_id", F.lit("zzz-flush")) \
+        .withColumn("part_key", F.lit(333)) \
+        .withColumn("ts", t0 + F.make_interval(days=F.lit(2)))
+
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>, part_key int, ts timestamp")
+
+    def one_pass():
+        stream = spark.readStream.schema(schema) \
+            .option("maxFilesPerTrigger", 1).parquet(in_dir)
+        q = (
+            VS.dedup_stream_earliest(stream, "ts", window="10 minutes",
+                                     watermark="30 minutes")
+            .writeStream.format("parquet").option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+
+    # lifetime 1: only the LATE copies — window open, nothing emits
+    late.coalesce(1).write.mode("append").parquet(in_dir)
+    one_pass()
+    assert spark.read.parquet(out_dir).count() == 0
+
+    # restart from the same checkpoint: early copies + watermark flush
+    early.unionByName(flush).coalesce(1).write.mode("append").parquet(in_dir)
+    one_pass()
+    got = spark.read.parquet(out_dir)
+    n = base.select("doc_id").distinct().count()
+    assert got.count() == n
+    # the pre-restart state still participated: min(ts) wins, so every
+    # survivor is the EARLY copy even though the late ones arrived in a
+    # previous process lifetime
+    assert got.filter(F.col("part_key") != 222).count() == 0
