@@ -2033,6 +2033,53 @@ WHERE list_cosine_similarity(a.v, b.v) >= 0.9
 """
 
 
+def q_embedding_neardup_dedup(spark, sf_dir):
+    """The dedup DECISION for the EMBEDDING modality: the LSH-banded
+    cosine pair graph (same planted corpus as embedding_neardup_lsh)
+    resolved to connected components and collapsed to one survivor per
+    cluster (min vec_id) — the same pairs → clusters → survivor chain
+    neardup_dedup provides for text, over vectors. Oracle: exact
+    all-pairs cosine pairs + recursive-CTE transitive closure; the
+    planted duplicates are disjoint (v, v+100000) pairs, so exactly
+    the 50 planted copies drop."""
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    pairs = similarity.embedding_neardup_pairs(corpus, threshold=0.9, dim=64)
+    return dedup.neardup_dedup(
+        corpus.select("vec_id"), pairs, id_col="vec_id"
+    )
+
+
+SQL_EMBEDDING_NEARDUP_DEDUP = """
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 100000, CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id < 50
+), pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE list_cosine_similarity(a.v, b.v) >= 0.9
+), sym AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+), reach AS (
+  SELECT src AS id, src AS label FROM sym
+  UNION
+  SELECT s.dst, r.label FROM reach r JOIN sym s ON s.src = r.id
+), comp AS (
+  SELECT id, min(label) AS cluster_id FROM reach GROUP BY id
+)
+SELECT vec_id FROM corpus
+WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
+"""
+
+
 def q_text_profile(spark, sf_dir):
     """Per-document text profile, projected to the DuckDB-portable
     columns (the xxhash64 fingerprint stays pytest-covered; it has no
@@ -3146,12 +3193,16 @@ QUERIES_HEAD = {
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
-    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    # new in round 6 (embedding-modality survivor chain); displaced
+    # tpch_q3 to parked — it stays bench-tracked + plan-tested
+    "embedding_neardup_dedup": (
+        q_embedding_neardup_dedup, SQL_EMBEDDING_NEARDUP_DEDUP),
 }
 
 # Past the driver window: all r05-driver-green, unchanged this round,
 # strict-parity-verified every session.
 QUERIES_PARKED = {
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "lsh_topk": (q_lsh_topk, SQL_ANN_PLANTED_TOP1),
     "ivf_topk": (q_ivf_topk, SQL_ANN_PLANTED_TOP1),
     "ivf_topk_indexed": (q_ivf_topk_indexed, SQL_IVF_TOPK_INDEXED),
