@@ -311,3 +311,56 @@ def test_earliest_per_window_deterministic_tiebreak(spark):
         df.filter(F.col("v") != "z"), "ts", ["k"], "1 day"
     ).collect()
     assert {r["k"]: r["v"] for r in out2}[1] == "a"  # tie → lexicographic
+
+
+def test_neardup_clusters_random_graph_matches_bfs(spark):
+    """Property pin for the hop+pointer-doubling propagation: on a
+    seeded random graph (mixed cliques, chains, isolated pairs, and
+    random cross-edges — including components far wider than one
+    round's reach), every vertex's cluster_id must equal the
+    BFS-computed component minimum. Guards the whole algorithm family:
+    a wrong compression step or a premature convergence return shows
+    up as a label mismatch here, not as a plausible-looking cluster."""
+    import collections
+    import random
+
+    rng = random.Random(20240817)
+    edges = []
+    # three cliques
+    for base in (0, 40, 80):
+        members = [base + i for i in range(6)]
+        edges += [(a, b) for a in members for b in members if a < b]
+    # two long chains (diameter 14)
+    for base in (200, 300):
+        edges += [(base + i, base + i + 1) for i in range(14)]
+    # random sparse edges over a wider id space (bridges some of the above)
+    for _ in range(60):
+        a, b = rng.randrange(0, 400), rng.randrange(0, 400)
+        if a != b:
+            edges.append((min(a, b), max(a, b)))
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+
+    adj = collections.defaultdict(set)
+    for a, b in edges:
+        adj[a].add(b)
+        adj[b].add(a)
+    truth, seen = {}, set()
+    for v in adj:
+        if v in seen:
+            continue
+        comp, stack = [v], [v]
+        seen.add(v)
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+                    comp.append(w)
+        m = min(comp)
+        for u in comp:
+            truth[u] = m
+
+    got = {r["id"]: r["cluster_id"]
+           for r in dedup.neardup_clusters(pairs).collect()}
+    assert got == truth
