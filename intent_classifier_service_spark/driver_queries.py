@@ -2080,6 +2080,54 @@ WHERE vec_id NOT IN (SELECT id FROM comp WHERE id <> cluster_id)
 """
 
 
+# 80/10/10 with 10,000 buckets → thresholds 8000 / 9000; the portable
+# Knuth multiplicative hash is shared VERBATIM with the oracles below
+# (production callers use the default xxhash64 path — same machinery,
+# uniform for any key distribution; pytest covers it).
+_SPLIT_W = {"train": 0.8, "val": 0.1, "test": 0.1}
+_SQL_SPLIT_CASE = """CASE
+  WHEN ({k} * 2654435761) % 4294967296 % 10000 < 8000 THEN 'train'
+  WHEN ({k} * 2654435761) % 4294967296 % 10000 < 9000 THEN 'val'
+  ELSE 'test' END"""
+
+
+def q_hash_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (sampling.hash_split):
+    split = f(hash(doc_id)) — storage-free, stable under corpus growth
+    and re-runs (contrast randomSplit's per-execution re-deal), the
+    property that keeps eval contamination from creeping in across
+    pipeline runs. Exact per-doc assignment oracled via the portable
+    Knuth multiplicative hash."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return sampling.hash_split(docs, _SPLIT_W, portable=True)
+
+
+SQL_HASH_SPLIT = f"""
+SELECT doc_id, {_SQL_SPLIT_CASE.format(k='doc_id')} AS split
+FROM documents
+"""
+
+
+def q_leakage_safe_split(spark, sf_dir):
+    """Dedup-aware split (sampling.leakage_safe_split): every member of
+    a near-dup CLUSTER keys on the cluster id, so a train doc's
+    near-copy can never land in eval; non-candidates key on their own
+    id. Uses the same resolved cluster table as neardup_clusters (the
+    real minhash+chain pair graph), oracled end-to-end: recursive-CTE
+    components + the same portable hash arithmetic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup.neardup_clusters(_neardup_pair_graph(spark, sf_dir))
+    return sampling.leakage_safe_split(docs, clusters, _SPLIT_W,
+                                       portable=True)
+
+
+SQL_LEAKAGE_SAFE_SPLIT = _NEARDUP_GRAPH_CTE + f"""
+SELECT d.doc_id,
+       {_SQL_SPLIT_CASE.format(k='coalesce(c.cluster_id, d.doc_id)')} AS split
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 def q_text_profile(spark, sf_dir):
     """Per-document text profile, projected to the DuckDB-portable
     columns (the xxhash64 fingerprint stays pytest-covered; it has no
@@ -3189,20 +3237,23 @@ QUERIES_HEAD = {
     "drift_psi_event_type": (q_drift_psi_event_type, SQL_DRIFT_PSI),
     "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
     "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
-    "dedup_exact_prefix": (q_dedup_exact_prefix, SQL_DEDUP_PREFIX),
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
-    "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
-    # new in round 6 (embedding-modality survivor chain); displaced
-    # tpch_q3 to parked — it stays bench-tracked + plan-tested
+    # new in round 6 (embedding-modality survivor chain + deterministic
+    # splits); displaced tpch_q3, json_props_stats, dedup_exact_prefix
+    # to parked — all three stay bench-tracked (and q3 plan-tested)
     "embedding_neardup_dedup": (
         q_embedding_neardup_dedup, SQL_EMBEDDING_NEARDUP_DEDUP),
+    "hash_split_assign": (q_hash_split_assign, SQL_HASH_SPLIT),
+    "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
 }
 
 # Past the driver window: all r05-driver-green, unchanged this round,
 # strict-parity-verified every session.
 QUERIES_PARKED = {
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
+    "dedup_exact_prefix": (q_dedup_exact_prefix, SQL_DEDUP_PREFIX),
     "lsh_topk": (q_lsh_topk, SQL_ANN_PLANTED_TOP1),
     "ivf_topk": (q_ivf_topk, SQL_ANN_PLANTED_TOP1),
     "ivf_topk_indexed": (q_ivf_topk_indexed, SQL_IVF_TOPK_INDEXED),

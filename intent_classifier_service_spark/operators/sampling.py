@@ -101,3 +101,73 @@ def dense_ids(df: DataFrame, col: str, order_col: str) -> DataFrame:
     return firsts.select(
         F.col(col), (F.row_number().over(w) - 1).alias("label")
     )
+
+
+# -------------------------------------------------- deterministic splits
+
+def split_expr(key, weights: dict[str, float], buckets: int = 10_000,
+               portable: bool = False):
+    """Column expression assigning a split name from a key column:
+    bucket = hash(key) mod ``buckets``, split = the name whose
+    cumulative-weight bucket range contains it. Deterministic,
+    storage-free, and stable under corpus growth — a doc keeps its
+    split forever, the property a training pipeline needs so eval
+    contamination can't creep in across re-runs (contrast
+    randomSplit(), which re-deals on every execution/partitioning).
+
+    Default hash: xxhash64(key) (uniform for ANY key distribution).
+    ``portable=True`` swaps in a Knuth multiplicative hash
+    ((key * 2654435761) mod 2^32) that the DuckDB oracle reproduces
+    verbatim — exact cross-engine assignment equality, used by the
+    driver queries; production callers keep the default. ANSI-safe:
+    bigint keys up to ~3.4e9 can't overflow the 64-bit multiply; the
+    xxhash64 path has no such bound."""
+    key = F.col(key) if isinstance(key, str) else key
+    if portable:
+        h = F.pmod(key.cast("long") * F.lit(2654435761), F.lit(2**32))
+    else:
+        h = F.xxhash64(key)
+    bucket = F.pmod(h, F.lit(buckets))
+    total = sum(weights.values())
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name] / total
+        cond = bucket < int(round(acc * buckets))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    last = F.lit(names[-1])
+    return last if expr is None else expr.otherwise(last)
+
+
+def hash_split(df: DataFrame, weights: dict[str, float],
+               key_col: str = "doc_id", split_col: str = "split",
+               buckets: int = 10_000, portable: bool = False) -> DataFrame:
+    """df + a deterministic ``split_col`` (train/val/test/...) from
+    hash(key_col) — see split_expr. One projection, no shuffle, no
+    state: the split of a row is a pure function of its key."""
+    return df.withColumn(
+        split_col, split_expr(key_col, weights, buckets, portable)
+    )
+
+
+def leakage_safe_split(docs: DataFrame, clusters: DataFrame,
+                       weights: dict[str, float], id_col: str = "doc_id",
+                       split_col: str = "split", buckets: int = 10_000,
+                       portable: bool = False) -> DataFrame:
+    """hash_split keyed by near-dup CLUSTER, not document: every member
+    of a duplicate cluster lands in the SAME split, so a train doc's
+    near-copy can never leak into eval — the standard dedup-aware split
+    discipline for LLM training corpora (splitting after dedup is not
+    enough when survivors of different policies, or un-deduped raw
+    corpora, feed different stages). ``clusters`` is neardup_clusters'
+    (id, cluster_id); non-candidate docs (absent there) key on their
+    own id via coalesce. One broadcast-or-shuffle left join against the
+    candidates-only cluster table, then the stateless split projection."""
+    cl = clusters.select(F.col("id").alias(id_col),
+                         F.col("cluster_id").alias("_split_key"))
+    joined = docs.join(cl, id_col, "left")
+    key = F.coalesce(F.col("_split_key"), F.col(id_col))
+    return joined.withColumn(
+        split_col, split_expr(key, weights, buckets, portable)
+    ).drop("_split_key")

@@ -75,3 +75,66 @@ def test_dense_ids_first_seen_order(spark):
     got = {r["intent"]: r["label"] for r in
            sampling.dense_ids(df, "intent", "pos").collect()}
     assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_hash_split_deterministic_and_proportional(spark):
+    from intent_classifier_service_spark.operators import sampling as S
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "doc_id")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = S.hash_split(df, w)  # default xxhash64 path
+    again = S.hash_split(df, w)
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(__import__("pyspark").sql.functions.count("*").alias("n")).collect()}
+    # exact same assignment on re-run (stable, unlike randomSplit)
+    assert out.exceptAll(again).count() == 0
+    # proportions within 2% absolute of the weights at 20k keys
+    total = sum(counts.values())
+    assert total == 20000
+    assert abs(counts["train"] / total - 0.8) < 0.02
+    assert abs(counts["val"] / total - 0.1) < 0.02
+    assert abs(counts["test"] / total - 0.1) < 0.02
+
+
+def test_hash_split_portable_matches_arithmetic(spark):
+    """portable=True must reproduce the documented Knuth multiplicative
+    arithmetic exactly (the cross-engine oracle contract)."""
+    from intent_classifier_service_spark.operators import sampling as S
+
+    keys = [0, 1, 7, 12345, 99999, 3_400_000_000 // 1000]
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {r["doc_id"]: r["split"] for r in
+           S.hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1},
+                        portable=True).collect()}
+    for k in keys:
+        b = (k * 2654435761) % (2 ** 32) % 10000
+        expect = "train" if b < 8000 else ("val" if b < 9000 else "test")
+        assert got[k] == expect, (k, b, got[k])
+
+
+def test_leakage_safe_split_keeps_clusters_together(spark):
+    """Every member of a near-dup cluster lands in the SAME split; docs
+    outside any cluster split independently on their own id."""
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.operators import dedup, sampling as S
+
+    docs = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    # clusters: 200 pairs (i, i+50000-placeholder) -> use chain pairs inside range
+    pairs = spark.createDataFrame(
+        [(i, i + 1000) for i in range(0, 400, 2)], "id_a long, id_b long")
+    clusters = dedup.neardup_clusters(pairs)
+    out = S.leakage_safe_split(docs, clusters,
+                               {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.count() == 5000  # every doc returned exactly once
+    straddle = (
+        out.join(clusters.select(F.col("id").alias("doc_id"), "cluster_id"),
+                 "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+    )
+    assert straddle.count() == 0
+    # paired docs share the split; an unpaired doc keys on its own id
+    got = {r["doc_id"]: r["split"] for r in out.collect()}
+    for i in range(0, 400, 2):
+        assert got[i] == got[i + 1000]
