@@ -3069,6 +3069,40 @@ FROM embeddings
 
 # ------------------------------------------------- round-6 pipeline ops
 
+def q_pack_conservation(spark, sf_dir):
+    """Document packing (operators/packing.pack_greedy): greedy
+    fixed-token-budget sequence assembly, projected to the per-doc
+    conservation view — (doc_id, packed): every doc with
+    token_count <= 64 must appear in EXACTLY one packed sequence
+    (exploded assignments; a doc packed twice or dropped breaks the
+    row-count/hash match), every larger doc must surface in the
+    overflow frame. The sequence CONTENTS (greedy bin composition) are
+    not SQL-expressible — capacity/fill/determinism invariants are
+    pinned in tests/test_packing.py."""
+    from .operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    packed, overflow = packing.pack_greedy(docs, 64)
+    assigned = packing.pack_assignments(packed).select(
+        "doc_id", F.lit(True).alias("packed"))
+    return assigned.unionByName(
+        overflow.select("doc_id", F.lit(False).alias("packed")))
+
+
+# mirrors textstats.token_count (defined with the text-stats SQL twins
+# below; string inlined here because _SQL_NTOK is defined later in the
+# module)
+SQL_PACK_CONSERVATION = """
+SELECT doc_id,
+       (CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END
+       ) <= 64 AS packed
+FROM documents
+WHERE text IS NOT NULL
+"""
+
 # Paragraph-dedup driver queries: the corpus text carries no newlines,
 # so multi-paragraph documents are synthesized deterministically from
 # doc_id — a FIXED 3-paragraph structure (unique intro / mod-selected
@@ -3237,7 +3271,6 @@ QUERIES_HEAD = {
     "drift_psi_event_type": (q_drift_psi_event_type, SQL_DRIFT_PSI),
     "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
     "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
-    "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     # new in round 6 (embedding-modality survivor chain + deterministic
     # splits); displaced tpch_q3, json_props_stats, dedup_exact_prefix
@@ -3246,6 +3279,7 @@ QUERIES_HEAD = {
         q_embedding_neardup_dedup, SQL_EMBEDDING_NEARDUP_DEDUP),
     "hash_split_assign": (q_hash_split_assign, SQL_HASH_SPLIT),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
+    "pack_conservation": (q_pack_conservation, SQL_PACK_CONSERVATION),
 }
 
 # Past the driver window: all r05-driver-green, unchanged this round,
@@ -3254,6 +3288,7 @@ QUERIES_PARKED = {
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
     "dedup_exact_prefix": (q_dedup_exact_prefix, SQL_DEDUP_PREFIX),
+    "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "lsh_topk": (q_lsh_topk, SQL_ANN_PLANTED_TOP1),
     "ivf_topk": (q_ivf_topk, SQL_ANN_PLANTED_TOP1),
     "ivf_topk_indexed": (q_ivf_topk_indexed, SQL_IVF_TOPK_INDEXED),
