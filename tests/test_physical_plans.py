@@ -207,3 +207,27 @@ def test_text_normalize_is_shuffle_free(spark):
     p = _plan(DQ.q_text_normalize(spark, SF))
     assert "Exchange" not in p
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_split_ops_plan_discipline(spark):
+    """hash_split is a pure scan->project pass (zero Exchange, zero
+    Python); leakage_safe_split's only join is the equi join against
+    the candidates-only cluster table — never a cartesian."""
+    from intent_classifier_service_spark.operators import sampling as S
+
+    docs = DQ._t(spark, SF, "documents").select("doc_id")
+    p = _plan(S.hash_split(docs, {"train": 0.8, "val": 0.1, "test": 0.1}))
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+    p2 = _plan(DQ.q_leakage_safe_split(spark, SF))
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoop" not in p2
+
+
+def test_paragraph_dedup_driver_query_plans(spark):
+    """The driver-facing paragraph queries stay equi-join only (the
+    operator-level gate lives in test_paragraph_dedup; this covers the
+    synthesized multi-paragraph corpus path end to end)."""
+    for q in (DQ.q_paragraph_dedup, DQ.q_strip_dup_paragraphs):
+        p = _plan(q(spark, SF))
+        assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
