@@ -3094,13 +3094,41 @@ def q_pack_conservation(spark, sf_dir):
 # mirrors textstats.token_count (defined with the text-stats SQL twins
 # below; string inlined here because _SQL_NTOK is defined later in the
 # module)
-SQL_PACK_CONSERVATION = """
+_SQL_NTOK_INLINE = """(CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END)"""
+
+SQL_PACK_CONSERVATION = f"""
 SELECT doc_id,
-       (CASE WHEN length(trim(text)) = 0 THEN 0
-             ELSE len(regexp_split_to_array(lower(trim(text)), '\\s+')) END
-       ) <= 64 AS packed
+       {_SQL_NTOK_INLINE} <= 64 AS packed
 FROM documents
 WHERE text IS NOT NULL
+"""
+
+
+def q_corpus_token_budget(spark, sf_dir):
+    """Corpus accounting: docs and whitespace-token totals per
+    (lang, split) — the 'how many training tokens do we have, and
+    where' rollup a pretraining run starts from, composing the
+    deterministic hash split with the token counter. One scan, one
+    map-side-combinable groupBy; at 100 TB this is the cheapest query
+    in the engine (two narrow columns + an int per row)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        textstats.token_count(F.col("text")).alias("_ntok"),
+    )
+    split = sampling.hash_split(docs, _SPLIT_W, portable=True)
+    return split.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ntok").alias("total_tokens"),
+    )
+
+
+SQL_CORPUS_TOKEN_BUDGET = f"""
+SELECT lang, {_SQL_SPLIT_CASE.format(k='doc_id')} AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum({_SQL_NTOK_INLINE}) AS BIGINT) AS total_tokens
+FROM documents
+GROUP BY 1, 2
 """
 
 # Paragraph-dedup driver queries: the corpus text carries no newlines,
@@ -3271,7 +3299,6 @@ QUERIES_HEAD = {
     "drift_psi_event_type": (q_drift_psi_event_type, SQL_DRIFT_PSI),
     "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
     "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
-    "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     # new in round 6 (embedding-modality survivor chain + deterministic
     # splits); displaced tpch_q3, json_props_stats, dedup_exact_prefix
     # to parked — all three stay bench-tracked (and q3 plan-tested)
@@ -3280,6 +3307,7 @@ QUERIES_HEAD = {
     "hash_split_assign": (q_hash_split_assign, SQL_HASH_SPLIT),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "pack_conservation": (q_pack_conservation, SQL_PACK_CONSERVATION),
+    "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
 }
 
 # Past the driver window: all r05-driver-green, unchanged this round,
@@ -3289,6 +3317,7 @@ QUERIES_PARKED = {
     "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
     "dedup_exact_prefix": (q_dedup_exact_prefix, SQL_DEDUP_PREFIX),
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
+    "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
     "lsh_topk": (q_lsh_topk, SQL_ANN_PLANTED_TOP1),
     "ivf_topk": (q_ivf_topk, SQL_ANN_PLANTED_TOP1),
     "ivf_topk_indexed": (q_ivf_topk_indexed, SQL_IVF_TOPK_INDEXED),
