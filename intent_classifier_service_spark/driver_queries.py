@@ -3131,6 +3131,32 @@ FROM documents
 GROUP BY 1, 2
 """
 
+
+_MIX_W = {"en": 0.5, "de": 0.2, "fr": 0.2, "zh": 0.1}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Target-mixture sampling (sampling.mixture_sample): per-lang
+    quota floor(total * w), deterministic doc_id order, no cross-group
+    top-up (substituting mass across sources silently changes the
+    mixture — the bug the operator exists to prevent). 'es' carries no
+    weight → excluded entirely. Oracle: the same row_number + CASE
+    quota arithmetic."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return sampling.mixture_sample(docs, "lang", _MIX_W, total=300,
+                                   order_col="doc_id")
+
+
+SQL_MIXTURE_SAMPLE = """
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+         CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 60
+                   WHEN 'fr' THEN 60 WHEN 'zh' THEN 30 END AS quota
+  FROM documents
+) WHERE quota IS NOT NULL AND rn <= quota
+"""
+
 # Paragraph-dedup driver queries: the corpus text carries no newlines,
 # so multi-paragraph documents are synthesized deterministically from
 # doc_id — a FIXED 3-paragraph structure (unique intro / mod-selected
@@ -3296,7 +3322,6 @@ QUERIES_HEAD = {
     "uniqueness_lineitem_orderkey": (q_uniqueness_lineitem_orderkey, SQL_UNIQUENESS),
     "referential_media_refs": (q_referential_media_refs, SQL_REF_MEDIA),
     "column_stats_orders": (q_column_stats_orders, SQL_COLUMN_STATS),
-    "drift_psi_event_type": (q_drift_psi_event_type, SQL_DRIFT_PSI),
     "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
     "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
     # new in round 6 (embedding-modality survivor chain + deterministic
@@ -3308,6 +3333,7 @@ QUERIES_HEAD = {
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "pack_conservation": (q_pack_conservation, SQL_PACK_CONSERVATION),
     "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
 }
 
 # Past the driver window: all r05-driver-green, unchanged this round,
@@ -3318,6 +3344,7 @@ QUERIES_PARKED = {
     "dedup_exact_prefix": (q_dedup_exact_prefix, SQL_DEDUP_PREFIX),
     "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
     "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
+    "drift_psi_event_type": (q_drift_psi_event_type, SQL_DRIFT_PSI),
     "lsh_topk": (q_lsh_topk, SQL_ANN_PLANTED_TOP1),
     "ivf_topk": (q_ivf_topk, SQL_ANN_PLANTED_TOP1),
     "ivf_topk_indexed": (q_ivf_topk_indexed, SQL_IVF_TOPK_INDEXED),

@@ -171,3 +171,33 @@ def leakage_safe_split(docs: DataFrame, clusters: DataFrame,
     return joined.withColumn(
         split_col, split_expr(key, weights, buckets, portable)
     ).drop("_split_key")
+
+
+def mixture_sample(df: DataFrame, group: str, weights: dict[str, float],
+                   total: int, order_col: str | None = None,
+                   seed: int = 42) -> DataFrame:
+    """Sample to a TARGET MIXTURE: per group g, take
+    min(floor(total * w_g / sum(w)), available) rows — the corpus-
+    curation primitive ("40% web, 30% code, 30% books") that stratified
+    equal-allocation can't express. Groups absent from ``weights`` are
+    excluded (weight 0). Deterministic with ``order_col`` (the oracle
+    path); seeded-random otherwise. Under-full groups are NOT topped up
+    from other groups — substituting mass across sources silently
+    changes the mixture, which is the bug this operator exists to
+    prevent; the caller sees the shortfall in the output counts.
+
+    Scale shape: one broadcast join against the weights dim (len(
+    weights) rows) + one row_number window partitioned by group — the
+    same single group-key shuffle as capped_per_group."""
+    wsum = sum(weights.values())
+    quotas = [(g, int(total * w / wsum)) for g, w in weights.items()]
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(quotas, f"{group} string, _quota long")
+    order = F.col(order_col) if order_col else F.rand(seed)
+    w = Window.partitionBy(group).orderBy(order)
+    return (
+        df.join(F.broadcast(qdf), group)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )

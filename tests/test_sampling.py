@@ -138,3 +138,23 @@ def test_leakage_safe_split_keeps_clusters_together(spark):
     got = {r["doc_id"]: r["split"] for r in out.collect()}
     for i in range(0, 400, 2):
         assert got[i] == got[i + 1000]
+
+
+def test_mixture_sample_quotas_and_exclusion(spark):
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.operators import sampling as S
+
+    rows = ([("a", i) for i in range(100)] + [("b", i) for i in range(40)]
+            + [("c", i) for i in range(10)] + [("x", i) for i in range(50)])
+    df = spark.createDataFrame([(g, 1000 * i + hash(g) % 7) for g, i in rows],
+                               "grp string, doc_id long")
+    out = S.mixture_sample(df, "grp", {"a": 0.5, "b": 0.3, "c": 0.2},
+                           total=100, order_col="doc_id")
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    # quotas: a 50, b 30, c min(20, 10)=10; unweighted 'x' excluded
+    assert counts == {"a": 50, "b": 30, "c": 10}
+    # deterministic with order_col: same rows every run
+    again = S.mixture_sample(df, "grp", {"a": 0.5, "b": 0.3, "c": 0.2},
+                             total=100, order_col="doc_id")
+    assert out.exceptAll(again).count() == 0
