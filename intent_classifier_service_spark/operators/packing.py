@@ -6,12 +6,24 @@ one of the beyond-reference LLM-pipeline operators, like dedup/ANN).
 Distributed shape: true optimal packing is a global sequential bin-pack
 — inherently serial — so this implements the standard scalable
 approximation: deterministic hash-bucketed partitions, each packed
-independently with an in-partition greedy first-fit-decreasing pass
-(one Arrow batch per partition, pure numpy/python over metadata-sized
-rows: id + token count, never the text). Packing quality loses only
-the cross-partition tail (≤ one underfull sequence per partition,
-amortized away as partitions grow toward 100 TB); wall-clock is one
-shuffle + one mapInPandas.
+independently with an in-partition greedy best-fit-decreasing pass
+(pure numpy/python over metadata-sized rows: id + token count, never
+the text). Packing quality loses only the cross-partition tail (≤ one
+underfull sequence per partition, amortized away as partitions grow
+toward 100 TB); wall-clock is one shuffle + one mapInPandas.
+
+The kernel consumes the partition's FULL Arrow-batch iterator before
+packing (mapInPandas splits partitions into ~10k-row batches per
+spark.sql.execution.arrow.maxRecordsPerBatch): packing each batch
+independently would restart the greedy pass and the sequence counter
+mid-bucket — duplicate seq_ids and a silent quality cliff at exactly
+the scale the module targets. The per-bucket frame is metadata-only
+(id + count), so memory is ~16 bytes/doc.
+
+Bucket sizing rule: keep ≤ ~1M docs per bucket (n_buckets ≥
+n_docs / 1e6) — the per-bucket pandas frame stays tens of MB and the
+O(n log max_tokens) kernel stays in seconds; buckets pack in parallel
+across executors.
 
 Determinism: partition = pmod(xxhash64(id), n_buckets) and rows are
 sorted (tokens desc, id) inside each bucket before the greedy pass, so
@@ -30,14 +42,87 @@ driver_queries.pack_assignments):
 
 from __future__ import annotations
 
+from collections import deque
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-PACKED_SCHEMA = ("seq_id string, doc_ids array<long>, n_docs int, "
-                 "total_tokens long, fill_ratio double")
+_PACKED_COLS = ["seq_id", "doc_ids", "n_docs", "total_tokens", "fill_ratio"]
+
+
+class _CapacityIndex:
+    """Fenwick tree over the integer remaining-capacity domain
+    [0, max_tokens]: add/remove a bin at capacity r in O(log C), and
+    successor(t) — the smallest capacity ≥ t with an open bin — via a
+    single Fenwick walk in O(log C). This is what makes best-fit
+    O(n log C) instead of the O(n · open_bins) per-doc scan a naive
+    first-fit loop costs (quadratic when buckets hold many small docs)."""
+
+    def __init__(self, cap: int):
+        self.n = cap + 1  # capacities 0..cap → tree indices 1..cap+1
+        self.tree = [0] * (self.n + 1)
+        self.total = 0
+
+    def add(self, r: int, delta: int) -> None:
+        self.total += delta
+        i = r + 1
+        while i <= self.n:
+            self.tree[i] += delta
+            i += i & (-i)
+
+    def _prefix(self, r: int) -> int:
+        i, s = r + 1, 0
+        while i > 0:
+            s += self.tree[i]
+            i -= i & (-i)
+        return s
+
+    def successor(self, t: int) -> int:
+        """Smallest capacity r >= t with count > 0, else -1."""
+        below = self._prefix(t - 1) if t > 0 else 0
+        if self.total == below:
+            return -1
+        target = below + 1  # find the target-th bin in capacity order
+        pos, bit = 0, 1 << self.n.bit_length()
+        while bit:
+            nxt = pos + bit
+            if nxt <= self.n and self.tree[nxt] < target:
+                target -= self.tree[nxt]
+                pos = nxt
+            bit >>= 1
+        return pos  # tree index pos+1 → capacity pos
+
+
+def _pack_bucket(ids, toks, max_tokens: int) -> list[tuple]:
+    """Best-fit-decreasing over one bucket's (tokens desc, id)-sorted
+    rows: each doc goes to the open bin with the SMALLEST remaining
+    capacity that still fits (ties broken FIFO — deterministic). Input
+    order is already pinned by the Spark-side sortWithinPartitions."""
+    cap_idx = _CapacityIndex(max_tokens)
+    bin_ids: list[list] = []
+    bin_rem: list[int] = []
+    avail: dict[int, deque[int]] = {}
+    for did, tok in zip(ids, toks):
+        tok = int(tok)
+        r = cap_idx.successor(tok)
+        if r < 0:
+            b = len(bin_ids)
+            bin_ids.append([did])
+            rem = max_tokens - tok
+            bin_rem.append(rem)
+        else:
+            b = avail[r].popleft()
+            cap_idx.add(r, -1)
+            bin_ids[b].append(did)
+            rem = r - tok
+            bin_rem[b] = rem
+        avail.setdefault(rem, deque()).append(b)
+        cap_idx.add(rem, 1)
+    return [
+        (ids_, max_tokens - rem) for ids_, rem in zip(bin_ids, bin_rem)
+    ]
 
 
 def pack_greedy(docs: DataFrame, max_tokens: int, id_col: str = "doc_id",
@@ -47,9 +132,11 @@ def pack_greedy(docs: DataFrame, max_tokens: int, id_col: str = "doc_id",
     (seq_id, doc_ids, n_docs, total_tokens, fill_ratio) — overflow is
     the (id, tokens) rows that exceed ``max_tokens`` alone. seq_id is
     'b<bucket>-s<index>' (bucket-local index in deterministic greedy
-    order), unique and stable across runs."""
+    order), unique and stable across runs. Doc ids may be any integral
+    or string type; ``doc_ids`` carries the input id type through."""
     if max_tokens <= 0:
         raise ValueError("max_tokens must be positive")
+    id_ddl = docs.schema[id_col].dataType.simpleString()
     meta = docs.select(
         F.col(id_col).alias("id"),
         F.col(tokens_col).cast("long").alias("tokens"),
@@ -67,37 +154,33 @@ def pack_greedy(docs: DataFrame, max_tokens: int, id_col: str = "doc_id",
     )
 
     def pack(pdfs: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in pdfs:
-            out_rows = []
-            # a partition holds exactly one bucket (hash-partitioned on
-            # _bucket with n_buckets partitions) — but stay correct if
-            # two buckets collide into one partition: pack per bucket.
-            for bucket, grp in pdf.groupby("_bucket", sort=True):
-                # first-fit-decreasing over (tokens desc, id) order:
-                # bins scanned first-fit; rows already sorted by the
-                # Spark-side sortWithinPartitions.
-                bins: list[tuple[int, list[int]]] = []  # (remaining, ids)
-                for did, tok in zip(grp["id"].to_numpy(),
-                                    grp["tokens"].to_numpy()):
-                    for i, (rem, ids) in enumerate(bins):
-                        if tok <= rem:
-                            bins[i] = (rem - int(tok), ids + [int(did)])
-                            break
-                    else:
-                        bins.append((max_tokens - int(tok), [int(did)]))
-                for i, (rem, ids) in enumerate(bins):
-                    total = max_tokens - rem
-                    out_rows.append((
-                        f"b{int(bucket)}-s{i}", ids, len(ids), total,
-                        total / max_tokens,
-                    ))
-            yield pd.DataFrame(
-                out_rows,
-                columns=["seq_id", "doc_ids", "n_docs", "total_tokens",
-                         "fill_ratio"],
-            )
+        # Consume the WHOLE partition before packing: Arrow hands the
+        # partition over as ~10k-row batches; per-batch packing would
+        # reset the greedy state and seq counter mid-bucket (duplicate
+        # seq_ids, broken FFD quality). Rows are metadata-sized.
+        chunks = list(pdfs)
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        out_rows = []
+        # a partition holds exactly one bucket (hash-partitioned on
+        # _bucket with n_buckets partitions) — but stay correct if
+        # two buckets collide into one partition: pack per bucket.
+        for bucket, grp in pdf.groupby("_bucket", sort=True):
+            bins = _pack_bucket(grp["id"].tolist(),
+                                grp["tokens"].to_numpy(), max_tokens)
+            for i, (ids, total) in enumerate(bins):
+                out_rows.append((
+                    f"b{int(bucket)}-s{i}", ids, len(ids), total,
+                    total / max_tokens,
+                ))
+        yield pd.DataFrame(out_rows, columns=_PACKED_COLS)
 
-    packed = eligible.mapInPandas(pack, schema=PACKED_SCHEMA)
+    packed = eligible.mapInPandas(
+        pack,
+        schema=(f"seq_id string, doc_ids array<{id_ddl}>, n_docs int, "
+                f"total_tokens long, fill_ratio double"),
+    )
     return packed, overflow
 
 

@@ -70,3 +70,89 @@ def test_pack_rejects_bad_budget(spark):
 
     with pytest.raises(ValueError):
         packing.pack_greedy(_docs(spark, 10), 0)
+
+
+def test_pack_bucket_spanning_arrow_batches(spark):
+    """A bucket larger than arrow.maxRecordsPerBatch (10k in session.py)
+    arrives at the kernel as MULTIPLE pandas batches; packing must treat
+    the partition as ONE bucket — per-batch packing would restart the
+    seq counter (duplicate seq_ids) and drop cross-batch fill quality.
+    25k docs into a single bucket forces ≥3 Arrow batches."""
+    docs = _docs(spark, n=25_000)
+    packed, _ = packing.pack_greedy(docs, 64, n_buckets=1)
+    rows = packed.collect()
+    seq_ids = [r["seq_id"] for r in rows]
+    assert len(seq_ids) == len(set(seq_ids)), "duplicate seq_ids across batches"
+    # conservation through the multi-batch path
+    assigned = packing.pack_assignments(packed)
+    eligible = docs.filter(F.col("n_tokens") <= 64)
+    assert assigned.count() == eligible.count()
+    assert assigned.select("doc_id").distinct().count() == eligible.count()
+    # single-bucket FFD over the whole partition packs tight: only the
+    # tail sequence may be underfull, so mean fill must stay near 1 —
+    # the per-batch restart bug would crater this
+    fills = [r["fill_ratio"] for r in rows]
+    assert sum(fills) / len(fills) > 0.99, sum(fills) / len(fills)
+
+
+def test_pack_string_doc_ids(spark):
+    """Doc ids need not be integral: string ids pack identically (the
+    output doc_ids array carries the input id type through)."""
+    docs = _docs(spark, n=500).select(
+        F.concat(F.lit("doc-"), F.col("doc_id").cast("string")).alias("doc_id"),
+        "n_tokens",
+    )
+    packed, overflow = packing.pack_greedy(docs, 64)
+    assert dict(packed.dtypes)["doc_ids"] == "array<string>"
+    assigned = packing.pack_assignments(packed)
+    n_eligible = docs.filter(F.col("n_tokens") <= 64).count()
+    assert assigned.count() == n_eligible
+    assert assigned.select("doc_id").distinct().count() == n_eligible
+    assert all(r["doc_id"].startswith("doc-") for r in assigned.collect())
+
+
+def _brute_best_fit(ids, toks, cap):
+    """Reference best-fit with the SAME tie rule as the kernel (FIFO
+    deque per remaining capacity) but a linear successor scan — the
+    Fenwick tree is a pure speedup over this."""
+    from collections import deque
+
+    bin_ids, bin_rem = [], []
+    avail = {}
+    for did, tok in zip(ids, toks):
+        tok = int(tok)
+        r = next((r for r in range(tok, cap + 1) if avail.get(r)), -1)
+        if r < 0:
+            b = len(bin_ids)
+            bin_ids.append([did])
+            rem = cap - tok
+            bin_rem.append(rem)
+        else:
+            b = avail[r].popleft()
+            bin_ids[b].append(did)
+            rem = r - tok
+            bin_rem[b] = rem
+        avail.setdefault(rem, deque()).append(b)
+    return [(ids_, cap - rem) for ids_, rem in zip(bin_ids, bin_rem)]
+
+
+def test_pack_best_fit_kernel_matches_reference_loop():
+    """The Fenwick-indexed kernel must be bin-for-bin identical to a
+    brute-force best-fit with the same tie rules, and land within 2
+    bins of the LP lower bound on FFD-style input."""
+    import random
+
+    rng = random.Random(7)
+    cap = 64
+    rows = sorted(((rng.randint(1, cap), i) for i in range(2000)),
+                  key=lambda t: (-t[0], t[1]))
+    ids = [i for _, i in rows]
+    toks = [t for t, _ in rows]
+    out = packing._pack_bucket(ids, toks, cap)
+    assert out == _brute_best_fit(ids, toks, cap)
+    # invariants: conservation + capacity + quality
+    packed_ids = [d for ids_, _ in out for d in ids_]
+    assert sorted(packed_ids) == sorted(ids)
+    assert all(0 < total <= cap for _, total in out)
+    lower = -(-sum(toks) // cap)
+    assert len(out) <= lower * 1.01 + 1, (len(out), lower)
