@@ -3136,21 +3136,24 @@ _MIX_W = {"en": 0.5, "de": 0.2, "fr": 0.2, "zh": 0.1}
 
 
 def q_mixture_sample(spark, sf_dir):
-    """Target-mixture sampling (sampling.mixture_sample): per-lang
-    quota floor(total * w), deterministic doc_id order, no cross-group
-    top-up (substituting mass across sources silently changes the
-    mixture — the bug the operator exists to prevent). 'es' carries no
-    weight → excluded entirely. Oracle: the same row_number + CASE
-    quota arithmetic."""
+    """Target-mixture sampling (sampling.mixture_sample, hash path):
+    per-lang quota floor(total * w), selected as the quota-smallest
+    rows per lang by (Knuth-hash bucket of doc_id, doc_id) — resolved
+    scalably via the two-phase histogram + boundary-bucket top-up, but
+    semantically a plain window the oracle can state verbatim. No
+    cross-group top-up (substituting mass across sources silently
+    changes the mixture — the bug the operator exists to prevent);
+    'es' carries no weight → excluded entirely."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return sampling.mixture_sample(docs, "lang", _MIX_W, total=300,
-                                   order_col="doc_id")
+                                   order_col="doc_id", portable=True)
 
 
 SQL_MIXTURE_SAMPLE = """
 SELECT doc_id, lang FROM (
   SELECT doc_id, lang,
-         row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS rn,
+         row_number() OVER (PARTITION BY lang
+             ORDER BY (doc_id * 2654435761) % 4294967296 % 4096, doc_id) AS rn,
          CASE lang WHEN 'en' THEN 150 WHEN 'de' THEN 60
                    WHEN 'fr' THEN 60 WHEN 'zh' THEN 30 END AS quota
   FROM documents

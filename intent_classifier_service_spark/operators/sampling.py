@@ -175,29 +175,111 @@ def leakage_safe_split(docs: DataFrame, clusters: DataFrame,
 
 def mixture_sample(df: DataFrame, group: str, weights: dict[str, float],
                    total: int, order_col: str | None = None,
-                   seed: int = 42) -> DataFrame:
+                   seed: int = 42, method: str = "hash",
+                   buckets: int = 4096, portable: bool = False) -> DataFrame:
     """Sample to a TARGET MIXTURE: per group g, take
     min(floor(total * w_g / sum(w)), available) rows — the corpus-
     curation primitive ("40% web, 30% code, 30% books") that stratified
     equal-allocation can't express. Groups absent from ``weights`` are
-    excluded (weight 0). Deterministic with ``order_col`` (the oracle
-    path); seeded-random otherwise. Under-full groups are NOT topped up
-    from other groups — substituting mass across sources silently
-    changes the mixture, which is the bug this operator exists to
-    prevent; the caller sees the shortfall in the output counts.
+    excluded (weight 0). Under-full groups are NOT topped up from other
+    groups — substituting mass across sources silently changes the
+    mixture, which is the bug this operator exists to prevent; the
+    caller sees the shortfall in the output counts.
 
-    Scale shape: one broadcast join against the weights dim (len(
-    weights) rows) + one row_number window partitioned by group — the
-    same single group-key shuffle as capped_per_group."""
+    ``method="hash"`` (default — the 100 TB path): source-mixture
+    groups are FEW and HUGE (5-20 sources over 10^12 docs), so a
+    row_number window partitioned by group would sort each group's
+    entire row set through a single task. Instead the quota is resolved
+    in two phases against a uniform hash rank:
+      1. one map-side-combinable groupBy(group, bucket) histogram
+         (≤ len(weights) × ``buckets`` rows — metadata-sized collect),
+         where bucket = hash(rank key) mod ``buckets``;
+      2. driver-side cumulative scan finds each group's boundary bucket
+         t_g; rows in buckets < t_g are selected by a stateless filter
+         (no shuffle at all), and ONLY the boundary bucket's rows
+         (~group_size/buckets — dimension-sized; size ``buckets`` so
+         this fits a task) flow through the exact top-up window.
+    The selected set equals "top quota_g rows by (bucket, rank key)
+    per group" exactly — deterministic, and SQL-expressible as a plain
+    window for the oracle. The rank key is ``order_col`` when given,
+    else a seeded xxhash64 over all columns (deterministic pseudo-
+    random). ``portable=True`` swaps xxhash64 for the Knuth
+    multiplicative hash on an integral key (cross-engine oracle
+    parity, as in split_expr).
+
+    ``method="window"`` keeps the single-window implementation for
+    dimension-sized inputs where one task per group is fine and the
+    seeded ``F.rand`` order is wanted."""
     wsum = sum(weights.values())
-    quotas = [(g, int(total * w / wsum)) for g, w in weights.items()]
-    spark = df.sparkSession
-    qdf = spark.createDataFrame(quotas, f"{group} string, _quota long")
-    order = F.col(order_col) if order_col else F.rand(seed)
-    w = Window.partitionBy(group).orderBy(order)
-    return (
-        df.join(F.broadcast(qdf), group)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") <= F.col("_quota"))
-        .drop("_rn", "_quota")
+    quotas = {g: int(total * w / wsum) for g, w in weights.items()}
+    if method == "window":
+        spark = df.sparkSession
+        qdf = spark.createDataFrame(
+            list(quotas.items()), f"{group} string, _quota long")
+        order = F.col(order_col) if order_col else F.rand(seed)
+        w = Window.partitionBy(group).orderBy(order)
+        return (
+            df.join(F.broadcast(qdf), group)
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= F.col("_quota"))
+            .drop("_rn", "_quota")
+        )
+    if method != "hash":
+        raise ValueError(f"unknown mixture_sample method {method!r}")
+    if not quotas:
+        return df.limit(0)
+    if order_col is not None:
+        key = F.col(order_col)
+        order = F.col(order_col)
+    else:
+        key = F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns])
+        order = key
+    if portable:
+        # Knuth multiplicative hash — DuckDB-reproducible (split_expr's
+        # portable path; integral keys ≤ ~3.4e9 under ANSI)
+        h = F.pmod(key.cast("long") * F.lit(2654435761), F.lit(2**32))
+    else:
+        h = F.xxhash64(F.lit(seed), key)
+    with_bkt = df.withColumn("_mbkt", F.pmod(h, F.lit(buckets)))
+    hist: dict[tuple, int] = {
+        (r["_g"], r["_b"]): r["_n"]
+        for r in with_bkt.groupBy(
+            F.col(group).alias("_g"), F.col("_mbkt").alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_n")).collect()
+    }
+    # boundary bucket per group: rows in buckets < t_g are all taken
+    # (cum rows), plus exactly quota - cum from bucket t_g
+    thresholds: dict[object, tuple[int, int]] = {}
+    for g, q in quotas.items():
+        if q <= 0:
+            thresholds[g] = (-1, 0)
+            continue
+        cum, t, need = 0, buckets, 0  # defaults: group smaller than quota
+        for bk in sorted(b for gg, b in hist if gg == g):
+            n = hist[(g, bk)]
+            if cum + n >= q:
+                t, need = bk, q - cum
+                break
+            cum += n
+        thresholds[g] = (t, need)
+    t_expr = need_expr = None
+    for g, (t, need) in thresholds.items():
+        cond = F.col(group) == F.lit(g)
+        t_expr = (F.when(cond, F.lit(t)) if t_expr is None
+                  else t_expr.when(cond, F.lit(t)))
+        need_expr = (F.when(cond, F.lit(need)) if need_expr is None
+                     else need_expr.when(cond, F.lit(need)))
+    sel = (
+        with_bkt.withColumn("_t", t_expr.otherwise(F.lit(None)))
+        .withColumn("_need", need_expr.otherwise(F.lit(None)))
+        .filter(F.col("_t").isNotNull())  # unweighted groups excluded
     )
+    below = sel.filter(F.col("_mbkt") < F.col("_t"))
+    w = Window.partitionBy(group).orderBy(order)
+    boundary = (
+        sel.filter(F.col("_mbkt") == F.col("_t"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= F.col("_need"))
+        .drop("_rn")
+    )
+    return below.unionByName(boundary).drop("_mbkt", "_t", "_need")

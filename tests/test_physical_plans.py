@@ -224,6 +224,28 @@ def test_split_ops_plan_discipline(spark):
     assert "CartesianProduct" not in p2 and "BroadcastNestedLoop" not in p2
 
 
+def test_mixture_sample_window_is_boundary_bucket_only(spark):
+    """mixture_sample's hash path must never put a corpus-scale group
+    through a Window: the ONLY Window in the plan is the boundary-
+    bucket exact top-up, whose subtree carries the `_mbkt = t` equality
+    filter (so ~group_size/buckets rows reach it); the below-threshold
+    branch is a stateless filter with no Window at all. Guards the
+    round-6 scale-killer (row_number over whole source groups)."""
+    df = DQ.q_mixture_sample(spark, SF)
+    p = _plan(df)
+    lines = p.splitlines()
+    win_lines = [i for i, ln in enumerate(lines) if re.search(r"\bWindow\b", ln)]
+    assert len(win_lines) == 1, f"expected exactly one Window:\n{p}"
+    w = win_lines[0]
+    # the window's subtree (Sort → Exchange → Filter → scan) must pin
+    # the boundary-bucket equality before any scan; Catalyst inlines
+    # _mbkt into `pmod(...) = CASE ...` pushed onto the FileScan
+    subtree = "\n".join(lines[w:w + 10])
+    assert re.search(r"pmod\([^\n]*\) = CASE", subtree), subtree
+    # and the below-threshold branch is a windowless pmod(...) < filter
+    assert re.search(r"pmod\([^\n]*\) < CASE", p), p
+
+
 def test_paragraph_dedup_driver_query_plans(spark):
     """The driver-facing paragraph queries stay equi-join only (the
     operator-level gate lives in test_paragraph_dedup; this covers the

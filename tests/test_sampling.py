@@ -158,3 +158,62 @@ def test_mixture_sample_quotas_and_exclusion(spark):
     again = S.mixture_sample(df, "grp", {"a": 0.5, "b": 0.3, "c": 0.2},
                              total=100, order_col="doc_id")
     assert out.exceptAll(again).count() == 0
+
+
+def test_mixture_sample_hash_path_under_structural_skew(spark):
+    """The hash path's raison d'être: ONE source group holding 90% of
+    the corpus (structural skew — few huge sources is the normal
+    mixture-sampling regime). Quotas must be exact, the selection
+    deterministic, and the set equal to the declarative 'top quota per
+    group by (bucket, id)' definition."""
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.operators import sampling as S
+
+    df = spark.range(0, 20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("web")).otherwise(F.lit("books"))
+        .alias("src"),
+    )
+    weights = {"web": 0.7, "books": 0.3}
+    out = S.mixture_sample(df, "src", weights, total=1000,
+                           order_col="doc_id", buckets=64)
+    counts = {r["src"]: r["n"] for r in
+              out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"web": 700, "books": 300}
+    # declarative twin: rank per group by (xxhash64 bucket, doc_id)
+    from pyspark.sql.window import Window
+    bkt = F.pmod(F.xxhash64(F.lit(42), F.col("doc_id")), F.lit(64))
+    w = Window.partitionBy("src").orderBy(bkt, "doc_id")
+    quota = F.when(F.col("src") == "web", 700).otherwise(300)
+    ref = (df.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= quota).drop("_rn"))
+    assert out.exceptAll(ref).count() == 0
+    assert ref.exceptAll(out).count() == 0
+    # rerun-deterministic
+    again = S.mixture_sample(df, "src", weights, total=1000,
+                             order_col="doc_id", buckets=64)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_mixture_sample_hash_no_order_col_and_window_parity(spark):
+    """Without order_col the hash path ranks by a seeded xxhash64 over
+    all columns — still deterministic; quotas exact. The explicit
+    window method keeps the legacy shape for dimension-sized inputs."""
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.operators import sampling as S
+
+    df = spark.createDataFrame(
+        [("a", i) for i in range(200)] + [("b", i) for i in range(100)],
+        "grp string, doc_id long")
+    out = S.mixture_sample(df, "grp", {"a": 0.6, "b": 0.4}, total=100)
+    counts = {r["grp"]: r["n"] for r in
+              out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 60, "b": 40}
+    again = S.mixture_sample(df, "grp", {"a": 0.6, "b": 0.4}, total=100)
+    assert out.exceptAll(again).count() == 0
+    # window method: same quota arithmetic, legacy single-window plan
+    wout = S.mixture_sample(df, "grp", {"a": 0.6, "b": 0.4}, total=100,
+                            order_col="doc_id", method="window")
+    wcounts = {r["grp"]: r["n"] for r in
+               wout.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert wcounts == counts
