@@ -3258,7 +3258,8 @@ LEFT JOIN (
 
 # Registry order IS the driver-verification order: the driver checks
 # the FIRST 50 entries (DRIVER_WINDOW) each round. QUERIES_HEAD holds
-# EXACTLY the window (len-asserted in tests/test_driver_queries.py);
+# EXACTLY the window (len-asserted by
+# tests/test_oracle_parity.py::test_driver_window_exactly_filled);
 # QUERIES_PARKED holds the rest, strict-parity-checked every session
 # via tools/strict_parity.py. Round-6 rotation (round-5 verdict #3 +
 # the advisor's window-overflow finding): the head carries (a) this

@@ -141,6 +141,12 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(buf):
         cid, size = buf[pos:pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+        if pos + 8 + size > len(buf):
+            # a declared chunk running past the buffer is a truncated/
+            # corrupt payload — surface as a decode error (mirroring
+            # decode_bmp's 'truncated BMP payload'), never a silent
+            # short decode with wrong duration/rms
+            raise ValueError("truncated WAVE chunk")
         body = buf[pos + 8: pos + 8 + size]
         if cid == b"fmt " and size >= 16:
             fmt = struct.unpack_from("<HHIIHH", body, 0)

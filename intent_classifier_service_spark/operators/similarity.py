@@ -332,8 +332,10 @@ IVF_REBALANCE_SKEW = 4.0
 def _write_ivf_manifest(path: str, cell_counts: dict[int, int],
                         n_appends: int, append_counts: list[int]) -> dict:
     """Index manifest (JSON next to cells/ + centroids/): total size,
-    per-append history, cell-size skew, and the rebalance verdict —
-    the metadata a 100 TB deployment checks before yet another append."""
+    per-cell counts, per-append history, cell-size skew, and the
+    rebalance verdict — the metadata a 100 TB deployment checks before
+    yet another append. Persisting ``cell_counts`` is what lets appends
+    merge incrementally instead of re-scanning the whole cells/ tree."""
     import json
 
     sizes = list(cell_counts.values())
@@ -344,6 +346,7 @@ def _write_ivf_manifest(path: str, cell_counts: dict[int, int],
         "n_cells": len(sizes),
         "n_appends": n_appends,
         "append_counts": append_counts,
+        "cell_counts": {str(c): int(n) for c, n in sorted(cell_counts.items())},
         "max_cell": max(sizes) if sizes else 0,
         "mean_cell": mean,
         "cell_skew": skew,
@@ -408,13 +411,15 @@ def append_to_ivf_index(spark, path: str, new_embeddings: DataFrame,
     into the matching cell partitions. Returns the updated manifest.
 
     Scale shape: the append touches only the new vectors (one matmul
-    pass + one partitioned write); existing cell files are immutable.
-    The cost of never retraining is drift — new data far from any
-    trained centroid piles into its nearest cell, so the manifest
-    recomputes cell-size skew on every append and flips
-    ``rebalance_recommended`` once max/mean exceeds
+    pass + one partitioned write, plus one metadata-sized count of the
+    SAME new batch — never a scan of the existing cells/ tree: the
+    prior per-cell counts come from the manifest and the new
+    assignments' counts merge in). The cost of never retraining is
+    drift — new data far from any trained centroid piles into its
+    nearest cell, so the manifest recomputes cell-size skew on every
+    append and flips ``rebalance_recommended`` once max/mean exceeds
     ``IVF_REBALANCE_SKEW`` (at that point a probe of the hot cell scans
-    ~skew× the average: rebuild with build_ivf_index)."""
+    ~skew× the average: split it with rebalance_ivf_cells)."""
     crows = spark.read.parquet(os.path.join(path, "centroids")).collect()
     centroids = np.zeros((len(crows), len(crows[0]["centroid"])))
     for r in crows:
@@ -424,18 +429,115 @@ def append_to_ivf_index(spark, path: str, new_embeddings: DataFrame,
     assigned.write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "cells")
     )
-    counts = {
+    # counts of THIS batch only (re-runs the assign matmul on the new
+    # vectors — the append's own size, not the index's)
+    new_counts = {
         r["cell"]: r["n"]
-        for r in spark.read.parquet(os.path.join(path, "cells"))
-        .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        for r in assigned.groupBy("cell").agg(
+            F.count(F.lit(1)).alias("n")).collect()
     }
     prior = _read_ivf_manifest(path)
+    if prior and "cell_counts" in prior:
+        counts = {int(c): n for c, n in prior["cell_counts"].items()}
+    else:  # pre-manifest/pre-counts index: one legacy full count, then
+        # the manifest carries counts forward incrementally
+        counts = {
+            r["cell"]: r["n"] - new_counts.get(r["cell"], 0)
+            for r in spark.read.parquet(os.path.join(path, "cells"))
+            .groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+        }
+    for c, n in new_counts.items():
+        counts[c] = counts.get(c, 0) + n
     prior_appends = prior["n_appends"] if prior else 0
     prior_counts = prior["append_counts"] if prior else []
-    appended = sum(counts.values()) - (prior["n_vectors"] if prior else 0)
     return _write_ivf_manifest(
         path, counts, n_appends=prior_appends + 1,
-        append_counts=prior_counts + [appended],
+        append_counts=prior_counts + [sum(new_counts.values())],
+    )
+
+
+def rebalance_ivf_cells(spark, path: str,
+                        max_cell_ratio: float = IVF_REBALANCE_SKEW,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        seed: int = 7, kmeans_iters: int = 8,
+                        sample_per_cell: int = 4096) -> dict:
+    """Act on the manifest's rebalance criterion: every cell whose size
+    exceeds ``max_cell_ratio`` × the mean cell size is SPLIT by a local
+    2-means trained on that cell alone — one subcluster keeps the old
+    cell id (its centroid updated in place), the other gets a fresh id.
+    Returns the updated manifest.
+
+    Scale shape: only the hot cells are read (directory-level pruning —
+    each is read from its own cell=<id> path) and only their partitions
+    are rewritten (dynamic partition overwrite: cell=<old> replaced,
+    cell=<new> created; every other cell's files are untouched,
+    byte-identical — pytest pins paths+mtimes). Query-time probe order
+    over unsplit cells is unchanged; probes near a split cell now see
+    two tighter centroids instead of one hot one. The 2-means trains on
+    ≤ ``sample_per_cell`` vectors driver-side; assignment of the cell's
+    full membership is one numpy matmul pass."""
+    manifest = _read_ivf_manifest(path)
+    if manifest is None or "cell_counts" not in manifest:
+        raise ValueError("no manifest with cell_counts — rebuild the index")
+    counts = {int(c): n for c, n in manifest["cell_counts"].items()}
+    mean = sum(counts.values()) / max(len(counts), 1)
+    hot = sorted(c for c, n in counts.items()
+                 if mean > 0 and n > max_cell_ratio * mean and n >= 2)
+    if not hot:
+        return manifest
+
+    cpath = os.path.join(path, "centroids")
+    crows = spark.read.parquet(cpath).collect()
+    cent_map = {r["cell"]: list(r["centroid"]) for r in crows}
+    next_id = max(cent_map) + 1
+    cells_root = os.path.join(path, "cells")
+
+    for c in hot:
+        # read ONLY this cell's directory; materialize before the
+        # overwrite below (read-your-writes hazard otherwise)
+        cell_df = spark.read.parquet(
+            os.path.join(cells_root, f"cell={c}")
+        ).localCheckpoint(eager=True)
+        sample_pdf = (
+            cell_df.select(vec_col).orderBy(F.xxhash64(id_col))
+            .limit(sample_per_cell).toPandas()
+        )
+        sample = np.array(sample_pdf[vec_col].tolist(), dtype=np.float64)
+        sub_centroids = _spherical_kmeans(sample, 2, kmeans_iters, seed)
+        new_id = next_id
+        next_id += 1
+        pair = np.vstack([sub_centroids[0], sub_centroids[1]])
+
+        def split_assign(batches, _pair=pair, _c=c, _new=new_id):
+            for pdf in batches:
+                mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+                norms = np.maximum(
+                    np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+                sub = np.argmax((mat / norms) @ _pair.T, axis=1)
+                out = pdf[[id_col, vec_col]].copy()
+                out["cell"] = np.where(sub == 0, _c, _new).astype(np.int32)
+                yield out
+
+        split = cell_df.mapInPandas(
+            split_assign, schema=f"{id_col} long, {vec_col} array<float>, cell int"
+        ).localCheckpoint(eager=True)  # pin assignment before the write
+        sub_counts = {r["cell"]: r["n"] for r in
+                      split.groupBy("cell").agg(
+                          F.count(F.lit(1)).alias("n")).collect()}
+        (split.write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("cell").parquet(cells_root))
+        cent_map[c] = sub_centroids[0].tolist()
+        cent_map[new_id] = sub_centroids[1].tolist()
+        counts[c] = sub_counts.get(c, 0)
+        counts[new_id] = sub_counts.get(new_id, 0)
+
+    cdf = spark.createDataFrame(
+        sorted(cent_map.items()), "cell int, centroid array<double>")
+    cdf.coalesce(1).write.mode("overwrite").parquet(cpath)
+    return _write_ivf_manifest(
+        path, counts, n_appends=manifest["n_appends"],
+        append_counts=manifest["append_counts"],
     )
 
 

@@ -100,6 +100,22 @@ def test_wav_pcm8_float32_and_stereo():
     assert np.allclose(s2, [2000 / 32768.0, 0.0])
 
 
+def test_wav_truncated_data_chunk_raises():
+    """A data chunk whose declared size runs past the buffer must raise
+    (→ decode_error row), never silently decode short with a wrong
+    duration/rms — parity with decode_bmp's 'truncated BMP payload'."""
+    import pytest
+
+    s = np.full(200, 1000, dtype=np.int16)
+    full = multimodal.encode_wav_pcm16(s, 8000)
+    truncated = full[:-100]  # header intact, data chunk cut short
+    with pytest.raises(ValueError, match="truncated WAVE chunk"):
+        multimodal.decode_wav(truncated)
+    # intact payload still decodes
+    samples, sr = multimodal.decode_wav(full)
+    assert sr == 8000 and len(samples) == 200
+
+
 # ------------------------------------------- operators: real values
 
 def test_image_features_real_bmp_values(spark):

@@ -127,3 +127,111 @@ def test_ivf_index_incremental_append(spark, tmp_path):
     cells = spark.read.parquet(path + "/cells")
     assert cells.count() == emb.count()
     assert cells.select("vec_id").distinct().count() == emb.count()
+
+
+def test_ivf_append_counts_come_from_manifest_not_full_scan(spark, tmp_path):
+    """Appends must merge the manifest's persisted cell_counts with the
+    new batch's counts — deleting the cells/ tree's READABILITY isn't
+    testable cheaply, but count correctness across two appends is: the
+    merged counts must equal a ground-truth full count."""
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = emb.filter(F.col("vec_id") % 3 == 0)
+    b = emb.filter(F.col("vec_id") % 3 == 1)
+    c = emb.filter(F.col("vec_id") % 3 == 2)
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(a, path, n_centroids=8)
+    similarity.append_to_ivf_index(spark, path, b)
+    m = similarity.append_to_ivf_index(spark, path, c)
+    truth = {r["cell"]: r["n"] for r in
+             spark.read.parquet(path + "/cells").groupBy("cell")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {int(k): v for k, v in m["cell_counts"].items()} == truth
+    assert m["n_vectors"] == emb.count()
+
+
+def test_ivf_rebalance_splits_hot_cell_only(spark, tmp_path):
+    """rebalance_ivf_cells executes the manifest's criterion: a drifted
+    append (a pile of near-duplicates of one corpus vector) blows one
+    cell past the skew threshold; the rebalance must split ONLY that
+    cell (every other cell's parquet files byte-identical by
+    path+size+mtime), update the centroid table in place, and keep
+    ivf_topk_indexed at the recall bar over the grown corpus."""
+    import glob
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    n = emb.count()
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, path, n_centroids=8)
+
+    # drifted append: 3n vectors in TWO tight sub-clusters around one
+    # corpus vector (±0.35·|base| along a fixed direction) — both land
+    # in the same nearest-centroid cell (hot), but are 2-means-separable
+    # (a pile of literal near-copies is one true cluster and cannot be
+    # split by any clustering)
+    base = np.array(emb.filter(F.col("vec_id") == 0)
+                    .collect()[0]["embedding"], dtype=np.float64)
+    rng = np.random.RandomState(11)
+    u = rng.normal(size=base.shape)
+    u /= np.linalg.norm(u)
+    bn = np.linalg.norm(base)
+    drift_rows = [
+        (int(1_000_000 + i),
+         (base + (0.35 if i % 2 == 0 else -0.35) * u * bn
+          + rng.normal(scale=1e-3 * bn, size=base.shape)).tolist())
+        for i in range(3 * n)
+    ]
+    drift = spark.createDataFrame(drift_rows, "vec_id long, embedding array<double>")
+    m = similarity.append_to_ivf_index(spark, path, drift)
+    assert m["rebalance_recommended"] is True
+
+    counts = {int(k): v for k, v in m["cell_counts"].items()}
+    mean = sum(counts.values()) / len(counts)
+    hot = {c for c, x in counts.items()
+           if x > similarity.IVF_REBALANCE_SKEW * mean}
+    assert hot
+    untouched = {
+        f: (os.path.getsize(f), os.path.getmtime(f))
+        for c in counts if c not in hot
+        for f in glob.glob(f"{path}/cells/cell={c}/*.parquet")
+    }
+    assert untouched
+
+    m2 = similarity.rebalance_ivf_cells(spark, path)
+    # split executed: one new cell per hot cell, vectors conserved
+    assert m2["n_cells"] == len(counts) + len(hot)
+    assert m2["n_vectors"] == n + 3 * n
+    assert m2["cell_skew"] < m["cell_skew"]
+    # untouched cells byte-identical
+    after = {
+        f: (os.path.getsize(f), os.path.getmtime(f))
+        for c in counts if c not in hot
+        for f in glob.glob(f"{path}/cells/cell={c}/*.parquet")
+    }
+    assert after == untouched
+    # manifest counts still truth
+    truth = {r["cell"]: r["n"] for r in
+             spark.read.parquet(path + "/cells").groupBy("cell")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {int(k): v for k, v in m2["cell_counts"].items()} == truth
+    # recall bar unchanged on the grown corpus
+    allv = emb.select("vec_id", "embedding").unionByName(drift)
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+               for r in emb.filter(F.col("vec_id") < 3).collect()]
+    out = similarity.ivf_topk_indexed(spark, path, queries, k=10, n_probe=6)
+
+    def topk_ids(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], set()).add(r["vec_id"])
+        return got
+
+    exact = topk_ids(similarity.brute_force_topk(allv, queries, k=10))
+    approx = topk_ids(out)
+    recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
