@@ -3106,27 +3106,34 @@ WHERE text IS NOT NULL
 
 
 def q_corpus_token_budget(spark, sf_dir):
-    """Corpus accounting: docs and whitespace-token totals per
-    (lang, split) — the 'how many training tokens do we have, and
-    where' rollup a pretraining run starts from, composing the
-    deterministic hash split with the token counter. One scan, one
-    map-side-combinable groupBy; at 100 TB this is the cheapest query
-    in the engine (two narrow columns + an int per row)."""
+    """Corpus accounting: docs, whitespace-token, and estimated SUBWORD
+    token totals per (lang, split) — the 'how many training tokens do
+    we have, and where' rollup a pretraining run starts from, composing
+    the deterministic hash split with both token counters (training
+    budgets are stated in subword tokens, not whitespace words —
+    textstats.subword_estimate, the same BPE-ish piece counter
+    text_profile pins). One scan, one map-side-combinable groupBy; at
+    100 TB this is the cheapest query in the engine (two narrow
+    columns + two ints per row)."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang",
         textstats.token_count(F.col("text")).alias("_ntok"),
+        textstats.subword_estimate("text").alias("_nsub"),
     )
     split = sampling.hash_split(docs, _SPLIT_W, portable=True)
     return split.groupBy("lang", "split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("_ntok").alias("total_tokens"),
+        F.sum("_nsub").alias("est_subword_tokens"),
     )
 
 
 SQL_CORPUS_TOKEN_BUDGET = f"""
 SELECT lang, {_SQL_SPLIT_CASE.format(k='doc_id')} AS split,
        CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum({_SQL_NTOK_INLINE}) AS BIGINT) AS total_tokens
+       CAST(sum({_SQL_NTOK_INLINE}) AS BIGINT) AS total_tokens,
+       CAST(sum(len(regexp_extract_all(lower(text),
+            '[a-z]{{1,6}}|[0-9]|[^\\sa-z0-9]'))) AS BIGINT) AS est_subword_tokens
 FROM documents
 GROUP BY 1, 2
 """

@@ -63,12 +63,90 @@ def _doc_counts(docs):
     ).agg(F.count(F.lit(1)).alias("n"))
 
 
+def _apply_paragraph_strip(docs, min_chars: int):
+    """Boilerplate removal over the spans corpus (--strip-dup-paragraphs):
+    every TEXT span's text is a paragraph-bearing unit keyed by
+    (doc_id, part_key, span position); dedup.strip_duplicate_paragraphs
+    removes every occurrence of a cross-doc duplicated paragraph except
+    the globally-first, and the doc's span array is rebuilt with the
+    stripped text in original span order. Returns (stripped_docs,
+    violation_rows) — one R-PARA-DUP violation row per duplicate-
+    paragraph occurrence, shaped for the violations sink.
+
+    Global transform like drift: it always reads the FULL corpus (a
+    pending-only view would miss cross-partition sharing), so it runs
+    BEFORE the resume pending filter; resume semantics are untouched.
+    Docs with a null doc_id are excluded from stripping (they fail
+    R-DOC-ID-NOTNULL anyway and a null key can't equi-join back).
+    Precondition: (doc_id, part_key) identifies a document — the span
+    rebuild groups on it, so a corpus that already violates R-DOC-
+    UNIQUE would see duplicate ids' span sets merged; run uniqueness
+    first (the default gate does) before trusting stripped output."""
+    from intent_classifier_service_spark.operators import dedup as D
+
+    ex = docs.select(
+        "doc_id", "part_key",
+        F.posexplode_outer("spans").alias("_pos", "_span"),
+    )
+    units = ex.filter(
+        (F.col("_span.kind") == "text") & F.col("_span.text").isNotNull()
+        & F.col("doc_id").isNotNull()
+    ).select(
+        F.struct("doc_id", "part_key", "_pos").alias("_uid"),
+        F.col("_span.text").alias("text"),
+    )
+    viol = D.paragraph_duplicates(units, id_col="_uid",
+                                  min_chars=min_chars).select(
+        F.col("_uid.part_key").alias("part_key"),
+        F.col("_uid.doc_id").alias("doc_id"),
+        F.lit("R-PARA-DUP").alias("rule_id"),
+        F.col("_uid._pos").cast("int").alias("span_index"),
+        F.format_string("para_index=%d,para_hash=%d,n_docs_sharing=%d",
+                        F.col("para_index"), F.col("para_hash"),
+                        F.col("n_docs_sharing")).alias("observed"),
+        F.lit("paragraph unique across corpus "
+              "(duplicate stripped, first occurrence kept)").alias("expected"),
+    )
+    stripped = D.strip_duplicate_paragraphs(
+        units, id_col="_uid", min_chars=min_chars
+    ).select(F.col("_uid"), F.col("text").alias("_new_text"))
+    rebuilt = (
+        ex.filter(F.col("_pos").isNotNull())
+        .join(stripped,
+              F.struct("doc_id", "part_key", "_pos") == F.col("_uid"), "left")
+        .withColumn(
+            "_span2",
+            F.when(F.col("_new_text").isNotNull(),
+                   F.col("_span").withField("text", F.col("_new_text")))
+            .otherwise(F.col("_span")))
+        .groupBy("doc_id", "part_key")
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("_pos", "_span2"))),
+            lambda s: s["_span2"]).alias("_spans2"))
+    )
+    out = (
+        docs.join(rebuilt, ["doc_id", "part_key"], "left")
+        .select("doc_id",
+                F.coalesce("_spans2", "spans").alias("spans"), "part_key")
+    )
+    return out, viol
+
+
 def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = None,
         resume: bool = False, rules: R.RuleSet | None = None,
         baseline: str | None = None, snapshot_id: str = "parquet-v0",
-        dedup_survivor: str | None = None) -> dict:
+        dedup_survivor: str | None = None,
+        strip_dup_paragraphs: bool = False,
+        para_min_chars: int = 30) -> dict:
     rules = rules or R.RuleSet()
     t0 = time.time()
+    para_viol = None
+    n_para_viol = None
+    if strip_dup_paragraphs:
+        # boilerplate strip BEFORE rule validation: verdicts/violations
+        # describe the STRIPPED corpus; the duplicate-paragraph
+        # occurrences themselves surface as R-PARA-DUP violation rows
+        docs, para_viol = _apply_paragraph_strip(docs, para_min_chars)
     docs_all = docs  # the legacy (non-incremental) resume path scans it
     done_keys: list[int] = []
     if store is not None and resume:
@@ -172,6 +250,13 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         uniqueness_from=docs_all if (resuming and not incremental) else None,
         uniqueness_rows=uniq_rows,
     )
+    if para_viol is not None:
+        # R-PARA-DUP rows ride the same sink; they are recomputed over
+        # the FULL corpus every run (global transform), so on resume
+        # the dynamic overwrite replaces exactly the (R-PARA-DUP, *)
+        # partitions with a complete fresh set — never a stale mix
+        all_v = all_v.unionByName(para_viol.select(*all_v.columns))
+        n_para_viol = para_viol.count()
     tables.write_violations(all_v, os.path.join(output, "violations"),
                             partition_by=("rule_id", "part_key"),
                             dynamic=resuming)
@@ -383,6 +468,9 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     }
     if dedup_summary is not None:
         out["dedup"] = dedup_summary
+    if n_para_viol is not None:
+        out["paragraph_dedup"] = {"min_chars": para_min_chars,
+                                  "n_duplicate_occurrences": n_para_viol}
     return out
 
 
@@ -406,6 +494,14 @@ def main() -> int:
                     help="run MinHash near-dup dedup over the corpus and write "
                          "survivors to <output>/deduped; best_score keeps the "
                          "highest quality_score member per cluster")
+    ap.add_argument("--strip-dup-paragraphs", action="store_true",
+                    help="strip cross-document duplicate paragraphs from text "
+                         "spans before rule validation (first occurrence kept); "
+                         "occurrences surface as R-PARA-DUP violation rows")
+    ap.add_argument("--para-min-chars", type=int, default=30,
+                    help="minimum trimmed paragraph length considered by "
+                         "--strip-dup-paragraphs (shorter lines are near-"
+                         "universal and carry no dedup value)")
     args = ap.parse_args()
 
     spark = get_spark("validate")
@@ -450,7 +546,9 @@ def main() -> int:
                       max_violation_rate=args.max_violation_rate)
     result = run(spark, docs, refs, args.output, store, args.resume, rules,
                  baseline=args.baseline, snapshot_id=snapshot_id,
-                 dedup_survivor=args.dedup_survivor)
+                 dedup_survivor=args.dedup_survivor,
+                 strip_dup_paragraphs=args.strip_dup_paragraphs,
+                 para_min_chars=args.para_min_chars)
     print(json.dumps(result))
     return 0 if result["gate_pass"] else 1
 

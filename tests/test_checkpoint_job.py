@@ -132,3 +132,55 @@ def test_resume_refuses_legacy_violations_layout(tmp_path):
     validate._check_violations_layout(str(tmp_path / "out2" / "violations"))
     # absent dir (fresh output) passes
     validate._check_violations_layout(str(tmp_path / "nope"))
+
+
+def test_validate_job_strip_dup_paragraphs(spark, tmp_path):
+    """--strip-dup-paragraphs (round-6 verdict #3): planted cross-doc
+    boilerplate paragraphs are stripped from the text spans before rule
+    validation (exactly ONE occurrence survives corpus-wide), every
+    occurrence lands in the violations sink as an R-PARA-DUP row, and
+    the gate verdict is computed over the stripped corpus."""
+    BOILER = "subscribe to our newsletter for weekly updates and offers"
+    docs = datagen.documents_spans(spark, 600)
+    planted = docs.limit(30).withColumn(
+        "doc_id", F.concat(F.lit("boiler-"), F.col("doc_id"))
+    ).withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.when(
+                s["kind"] == "text",
+                s.withField("text", F.concat(s["text"], F.lit("\n" + BOILER))),
+            ).otherwise(s)),
+    )
+    all_docs = docs.unionByName(planted)
+    n_boiler_spans = (
+        planted.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "text").count()
+    )
+    assert n_boiler_spans >= 30
+
+    # unit-level: the strip keeps exactly one occurrence corpus-wide
+    docs2, viol = validate._apply_paragraph_strip(all_docs, 30)
+    kept = (
+        docs2.select(F.explode("spans").alias("s"))
+        .filter((F.col("s.kind") == "text")
+                & F.col("s.text").contains(BOILER)).count()
+    )
+    assert kept == 1
+    assert docs2.count() == all_docs.count()
+    assert viol.count() == n_boiler_spans  # one row per occurrence
+
+    # e2e through the job flag: violations sink + gate verdict
+    out = str(tmp_path / "out")
+    r = validate.run(spark, all_docs, datagen.valid_media_refs(spark), out,
+                     strip_dup_paragraphs=True)
+    assert r["gate_pass"] is True
+    assert r["n_docs"] == 630
+    assert r["paragraph_dedup"]["n_duplicate_occurrences"] == n_boiler_spans
+    v = spark.read.parquet(os.path.join(out, "violations"))
+    para_rows = v.filter(F.col("rule_id") == "R-PARA-DUP")
+    assert para_rows.count() == n_boiler_spans
+    # sharing is counted per distinct text-span UNIT (doc, span pos)
+    assert para_rows.filter(~F.col("observed").contains(
+        f"n_docs_sharing={n_boiler_spans}")).count() == 0

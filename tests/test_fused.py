@@ -77,3 +77,54 @@ def test_fused_is_one_scan(spark):
     plan = gs._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Scan ExistingRDD") + plan.count("Scan parquet") <= 1
     assert "Expand" in plan  # grouping sets expand, one source
+
+
+def test_fused_repetition_rules_match_standalone(spark):
+    """Round-6 verdict #8: the Gopher-style repetition DocRules (the
+    columns text_profile exposes standalone) must produce IDENTICAL
+    verdicts through the fused grouping-sets scan and the separate
+    R.verdicts pass — the two paths may not drift. Docs with planted
+    repeated lines / 2-gram spam make the parity non-vacuous."""
+    from pyspark.sql import functions as F
+
+    docs = datagen.documents_spans(spark, 400)
+    # plant intra-doc repetition: every span's text becomes (a) a
+    # repeated-line block for half the planted docs, (b) 2-gram spam
+    # long enough to clear the min_tokens gate for the other half
+    rep_lines = (
+        docs.limit(20)
+        .withColumn("doc_id", F.concat(F.lit("rep-l-"), "doc_id"))
+        .withColumn("spans", F.transform(
+            "spans",
+            lambda s: s.withField(
+                "text",
+                F.when(s["kind"] == "text",
+                       F.lit("dup line\ndup line\ndup line\nunique tail"))
+                .otherwise(s["text"]))))
+    )
+    spam = " ".join(["spam ham"] * 15)
+    rep_grams = (
+        docs.limit(20)
+        .withColumn("doc_id", F.concat(F.lit("rep-g-"), "doc_id"))
+        .withColumn("spans", F.transform(
+            "spans",
+            lambda s: s.withField(
+                "text",
+                F.when(s["kind"] == "text", F.lit(spam)).otherwise(s["text"]))))
+    )
+    all_docs = docs.unionByName(rep_lines).unionByName(rep_grams)
+    rules = R.RuleSet(doc_rules=[*R.DOC_RULES, *R.repetition_rules()])
+
+    vd_f, *_ = fused_verdicts_and_drift(all_docs, rules, lo=0, hi=128)
+    vd_sep = R.verdicts(all_docs, rules, by=("part_key",))
+    assert sorted(vd_f.columns) == sorted(vd_sep.columns)
+    assert _rows(vd_f.select(*vd_sep.columns)) == _rows(vd_sep)
+
+    # non-vacuous: both repetition rules actually fired
+    fired = {
+        r["rule_id"]: r["nv"]
+        for r in vd_f.groupBy("rule_id")
+        .agg(F.sum("n_violations").alias("nv")).collect()
+    }
+    assert fired["R-DOC-REP-LINES"] > 0
+    assert fired["R-DOC-REP-2GRAM"] > 0
