@@ -581,3 +581,139 @@ def test_dedup_earliest_stream_checkpoint_recovery(spark, tmp_path):
     # survivor is the EARLY copy even though the late ones arrived in a
     # previous process lifetime
     assert got.filter(F.col("part_key") != 222).count() == 0
+
+
+_DOCS_TS_SCHEMA = ("doc_id string, spans array<struct<kind:string,text:string,"
+                   "media_ref:string,offset:int>>, part_key int, ts timestamp")
+
+
+def _run_earliest_until_done(spark, in_dir, ckpt, out_dir):
+    """One AvailableNow 'process lifetime' of the earliest-wins dedup
+    stream (1 file per micro-batch, append sink, shared checkpoint)."""
+    stream = (
+        spark.readStream.schema(_DOCS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        VS.dedup_stream_earliest(stream, "ts", window="10 minutes",
+                                 watermark="30 minutes")
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+
+def test_dedup_earliest_stream_checkpoint_recovery(spark, tmp_path):
+    """Crash-recovery for dedup-within-watermark (round-6 verdict #5):
+    the EARLY copies arrive before the stop, the LATE copies + flush
+    after the restart — the survivors must still all be the early
+    copies, which is only possible if the open (id, window) min-structs
+    in the state store survive the restart (a fresh query over the
+    post-restart files alone would keep the late copies). No survivor
+    is lost or duplicated vs an uninterrupted run."""
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    base = datagen.documents_spans(spark, 100)
+    early = base.withColumn("part_key", F.lit(222)) \
+        .withColumn("ts", t0 + F.make_interval(mins=F.lit(1)))
+    late = base.withColumn("part_key", F.lit(111)) \
+        .withColumn("ts", t0 + F.make_interval(mins=F.lit(5)))
+    flush = base.limit(1).withColumn("doc_id", F.lit("zzz-flush")) \
+        .withColumn("part_key", F.lit(333)) \
+        .withColumn("ts", t0 + F.make_interval(days=F.lit(2)))
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    early.coalesce(1).write.mode("append").parquet(in_dir)
+    _run_earliest_until_done(spark, in_dir, ckpt, out_dir)   # lifetime 1
+    # nothing finalized yet: the watermark hasn't closed any window
+    assert not os.path.exists(out_dir) or \
+        spark.read.parquet(out_dir).count() == 0
+
+    late.coalesce(1).write.mode("append").parquet(in_dir)
+    flush.coalesce(1).write.mode("append").parquet(in_dir)
+    _run_earliest_until_done(spark, in_dir, ckpt, out_dir)   # lifetime 2
+    got = spark.read.parquet(out_dir)
+    n_distinct = base.select("doc_id").distinct().count()
+    assert got.count() == n_distinct           # none lost, none duplicated
+    assert got.filter(F.col("part_key") != 222).count() == 0   # early wins
+    assert got.filter(F.col("doc_id") == "zzz-flush").count() == 0
+
+    # reference: one uninterrupted run over the same three files
+    solo_out = str(tmp_path / "solo_out")
+    _run_earliest_until_done(spark, in_dir, str(tmp_path / "solo_ckpt"),
+                             solo_out)
+    solo = spark.read.parquet(solo_out)
+    assert solo.count() == n_distinct
+    assert sorted(r["doc_id"] for r in got.collect()) == \
+        sorted(r["doc_id"] for r in solo.collect())
+
+
+def _run_psi_until_done(spark, in_dir, ckpt, out_dir, baseline_kind):
+    stream = (
+        spark.readStream.schema(_DOCS_TS_SCHEMA)
+        .option("maxFilesPerTrigger", 1).parquet(in_dir)
+    )
+    q = (
+        VS.windowed_drift_psi(stream, "ts", baseline_kind,
+                              window="10 minutes", watermark="30 minutes")
+        .writeStream.format("parquet").option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+
+def test_windowed_psi_stream_checkpoint_recovery(spark, tmp_path):
+    """Crash-recovery for the windowed-PSI stream: half of window A's
+    docs arrive before the stop, the other half + window B + flush
+    after the restart. Window A's emitted n_spans must count BOTH
+    halves (its windowed counts survived the restart in the state
+    store), each window emits exactly once, and (n_spans, psi, pass)
+    match an uninterrupted run row for row."""
+    from intent_classifier_service_spark.operators import drift
+
+    t0 = F.to_timestamp(F.lit("2024-01-01 00:00:00"))
+    docs = datagen.documents_spans(spark, 200)
+    half_a1 = docs.limit(100).withColumn(
+        "ts", t0 + F.make_interval(mins=F.lit(1)))
+    half_a2 = docs.exceptAll(docs.limit(100)).withColumn(
+        "ts", t0 + F.make_interval(mins=F.lit(7)))
+    win_b = docs.limit(50).withColumn(
+        "doc_id", F.concat(F.lit("b-"), "doc_id")).withColumn(
+        "ts", t0 + F.make_interval(mins=F.lit(15)))
+    flush = docs.limit(1).withColumn("doc_id", F.lit("zzz-flush")) \
+        .withColumn("ts", t0 + F.make_interval(days=F.lit(2)))
+    baseline_kind, _ = drift.drift_profile(docs, lo=0, hi=128)
+
+    in_dir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    half_a1.coalesce(1).write.mode("append").parquet(in_dir)
+    _run_psi_until_done(spark, in_dir, ckpt, out_dir, baseline_kind)
+    assert not os.path.exists(out_dir) or \
+        spark.read.parquet(out_dir).count() == 0  # no window final yet
+
+    half_a2.coalesce(1).write.mode("append").parquet(in_dir)
+    win_b.coalesce(1).write.mode("append").parquet(in_dir)
+    flush.coalesce(1).write.mode("append").parquet(in_dir)
+    _run_psi_until_done(spark, in_dir, ckpt, out_dir, baseline_kind)
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 2  # windows A and B, each exactly once
+
+    def n_spans(df):
+        return df.select(F.explode("spans")).count()
+
+    rows = {r["window"]["start"].minute: r for r in got.collect()}
+    assert rows[0]["n_spans"] == n_spans(half_a1) + n_spans(half_a2)
+    assert rows[10]["n_spans"] == n_spans(win_b)
+
+    # reference: one uninterrupted run emits identical rows
+    solo_out = str(tmp_path / "solo_out")
+    _run_psi_until_done(spark, in_dir, str(tmp_path / "solo_ckpt"),
+                        solo_out, baseline_kind)
+    key = lambda r: (r["window"]["start"], r["n_spans"],
+                     round(r["psi"], 9), r["pass"])
+    assert sorted(map(key, got.collect())) == \
+        sorted(map(key, spark.read.parquet(solo_out).collect()))
