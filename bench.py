@@ -66,7 +66,58 @@ def _headline_queries():
         # round-6 operators (baselines established in BENCH_r06)
         "paragraph_dedup": DQ.q_paragraph_dedup,
         "strip_dup_paragraphs": DQ.q_strip_dup_paragraphs,
+        # round-7: packing throughput at scale (1M metadata rows through
+        # the Fenwick best-fit kernel, 64 buckets, 2048-token budget)
+        "pack_1m_docs": _q_pack_1m,
     }
+
+
+def _q_pack_1m(spark, sf_dir):
+    """1M-doc packing bench (round-6 verdict #2): metadata-only rows
+    (id + deterministic token count in 1..96), 2048-token sequences —
+    exercises the O(n log C) kernel at ~15.6k docs/bucket. Correctness
+    is driver-oracled separately (pack_conservation); this entry tracks
+    the kernel's wall-clock."""
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.operators import packing
+
+    docs = spark.range(0, 1_000_000).select(
+        F.col("id").alias("doc_id"),
+        (F.pmod(F.col("id") * 37 + 11, F.lit(97)) + 1).alias("n_tokens"),
+    )
+    packed, _ = packing.pack_greedy(docs, 2048, n_buckets=64)
+    return packed
+
+
+def _summary_vs_baseline(timings: dict[str, float]) -> dict:
+    """Round-over-round comparison without tail parsing (round-6
+    verdict #9): compare this run's per-query mins against the
+    persisted best-known baseline (BENCH/baseline_queries.json, seeded
+    from the r6 driver samples), emit common_subset_sum / n_regressed /
+    the regressed map, then fold this run into the baseline
+    (elementwise min — 'regressed' always means vs best ever)."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "BENCH", "baseline_queries.json")
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        doc = json.load(f)
+    prior = doc.get("queries", {})
+    common = [q for q in timings if q in prior]
+    regressed = {q: [prior[q], timings[q]] for q in common
+                 if timings[q] > prior[q] * 1.05}
+    summary = {
+        "common_subset_sum": round(sum(timings[q] for q in common), 3),
+        "baseline_common_subset_sum": round(sum(prior[q] for q in common), 3),
+        "n_common": len(common),
+        "n_regressed": len(regressed),
+        "regressed_vs_best": regressed,
+    }
+    doc["queries"] = {q: round(min(prior.get(q, float("inf")), t), 3)
+                      for q, t in {**prior, **timings}.items()}
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+    return summary
 
 
 def run_bench(sf_dir: str, cpus: int | None = None, query_runs: int = 2) -> dict:
@@ -142,6 +193,7 @@ def run_bench(sf_dir: str, cpus: int | None = None, query_runs: int = 2) -> dict
         "docs_per_sec": docs_per_sec,
         "load_at_min": load_at_min,
         "samples_sec_load": samples,
+        **_summary_vs_baseline(timings),
     }
 
 

@@ -3268,88 +3268,25 @@ LEFT JOIN (
 # EXACTLY the window (len-asserted by
 # tests/test_oracle_parity.py::test_driver_window_exactly_filled);
 # QUERIES_PARKED holds the rest, strict-parity-checked every session
-# via tools/strict_parity.py. Round-6 rotation (round-5 verdict #3 +
-# the advisor's window-overflow finding): the head carries (a) this
-# round's 2 new paragraph-dedup queries, (b) the 8 queries whose
-# implementation or oracle changed this round (real numpy BMP/WAV
-# decode values in the multimodal trio; case-folded PII patterns;
-# NULLS FIRST oracle tie-breaks for dedup_earliest_window /
-# sessionize_events; IntegralType witness + 1-hop first iteration in
-# the neardup label propagation), (c) all 26 queries that rode
-# r04-green rows through round 5 — including tpch_q21/q22, which sat
-# at positions 51-52 last round and silently fell outside the window —
-# and (d) 14 stable r05-green fillers. The 28 parked rows are all
-# r05-driver-green and unchanged this round.
+# via tools/strict_parity.py. Round-7 rotation (round-6 verdict #4):
+# the head carries (a) the 3 queries whose implementation changed this
+# round — mixture_sample (two-phase hash-rank quota path + new
+# portable oracle), pack_conservation (multi-batch + Fenwick best-fit
+# kernel), corpus_token_budget (new est_subword_tokens column) — (b)
+# ALL 34 queries parked through rounds 5-6 riding r05 rows (the full
+# TPC-H block q2/q7-q12/q14-q20, the ANN trio, the drift PSI/KS
+# family, stratified_sample, text_profile, embedding_stats, the
+# large-dim referential variant, ...), and (c) 13 stable r06-green
+# fillers spanning the rule/eval/window families. The 34 parked rows
+# are all r06-driver-green and unchanged this round.
 DRIVER_WINDOW = 50
 
 QUERIES_HEAD = {
-    # -- (a) new in round 6 ----------------------------------------------
-    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
-    "strip_dup_paragraphs": (q_strip_dup_paragraphs, SQL_STRIP_DUP_PARAGRAPHS),
-    # -- (b) implementation/oracle changed this round ---------------------
-    # multimodal trio: REAL decode values via the pure-numpy BMP/WAV
-    # parsers (mean RGB / dims / rms / peak / duration oracled as
-    # exact k-arithmetic over datagen's constant payloads)
-    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
-    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
-    "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
-    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
-    "dedup_earliest_window": (
-        q_dedup_earliest_window, SQL_DEDUP_EARLIEST_WINDOW),
-    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
-    "neardup_dedup": (q_neardup_dedup, SQL_NEARDUP_DEDUP),
-    "neardup_dedup_quality": (q_neardup_dedup_quality, SQL_NEARDUP_DEDUP_QUALITY),
-    # -- (c) the 26 that rode r04 rows through round 5 --------------------
-    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
-    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
-    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH),
-    "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP),
-    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
-    "span_kind_violations": (q_span_kind_violations, SQL_SPAN_KIND),
-    "span_mutex_violations": (q_span_mutex_violations, SQL_SPAN_MUTEX),
-    "span_mono_violations": (q_span_mono_violations, SQL_SPAN_MONO),
-    "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
-    "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
-    "percentiles_hist_lineitem": (q_percentiles_hist_lineitem, SQL_PERCENTILES_HIST),
-    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
-    "drift_ks_event_value": (q_drift_ks_event_value, SQL_DRIFT_KS),
-    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
-    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
-    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
-    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
-    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
-    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
-    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
-    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
-    "word_topk": (q_word_topk, SQL_WORD_TOPK),
-    "eval_cooccurrence": (q_eval_cooccurrence, SQL_EVAL_COOC),
-    "dense_ids_event_types": (q_dense_ids_event_types, SQL_DENSE_IDS),
-    "sample_capped_per_group": (q_sample_capped_per_group, SQL_SAMPLE_CAPPED),
-    "eval_averaged": (q_eval_averaged, SQL_EVAL_AVERAGED),
-    # -- (d) stable r05-green fillers -------------------------------------
-    "span_rule_verdicts": (q_span_rule_verdicts, SQL_SPAN_VERDICTS),
-    "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
-    "arrow_span_violations": (q_arrow_span_violations, SQL_ARROW_SPAN),
-    "uniqueness_lineitem_orderkey": (q_uniqueness_lineitem_orderkey, SQL_UNIQUENESS),
-    "referential_media_refs": (q_referential_media_refs, SQL_REF_MEDIA),
-    "column_stats_orders": (q_column_stats_orders, SQL_COLUMN_STATS),
-    "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
-    "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
-    # new in round 6 (embedding-modality survivor chain + deterministic
-    # splits); displaced tpch_q3, json_props_stats, dedup_exact_prefix
-    # to parked — all three stay bench-tracked (and q3 plan-tested)
-    "embedding_neardup_dedup": (
-        q_embedding_neardup_dedup, SQL_EMBEDDING_NEARDUP_DEDUP),
-    "hash_split_assign": (q_hash_split_assign, SQL_HASH_SPLIT),
-    "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
+    # -- (a) implementation/oracle changed in round 7 ----------------------
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "pack_conservation": (q_pack_conservation, SQL_PACK_CONSERVATION),
     "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
-    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
-}
-
-# Past the driver window: all r05-driver-green, unchanged this round,
-# strict-parity-verified every session.
-QUERIES_PARKED = {
+    # -- (b) everything that rode r05 rows through round 6 -----------------
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
     "dedup_exact_prefix": (q_dedup_exact_prefix, SQL_DEDUP_PREFIX),
@@ -3386,6 +3323,61 @@ QUERIES_PARKED = {
     "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
     "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
     "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
+    # -- (c) stable r06-green fillers --------------------------------------
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "strip_dup_paragraphs": (q_strip_dup_paragraphs, SQL_STRIP_DUP_PARAGRAPHS),
+    "span_rule_verdicts": (q_span_rule_verdicts, SQL_SPAN_VERDICTS),
+    "arrow_span_violations": (q_arrow_span_violations, SQL_ARROW_SPAN),
+    "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
+    "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
+    "word_topk": (q_word_topk, SQL_WORD_TOPK),
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
+    "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
+    "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
+    "dedup_earliest_window": (
+        q_dedup_earliest_window, SQL_DEDUP_EARLIEST_WINDOW),
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
+}
+
+# Past the driver window: all r06-driver-green, unchanged this round,
+# strict-parity-verified every session.
+QUERIES_PARKED = {
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+    "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "neardup_clusters": (q_neardup_clusters, SQL_NEARDUP_CLUSTERS),
+    "neardup_dedup": (q_neardup_dedup, SQL_NEARDUP_DEDUP),
+    "neardup_dedup_quality": (q_neardup_dedup_quality, SQL_NEARDUP_DEDUP_QUALITY),
+    "minhash_lsh_pairs": (q_minhash_lsh_pairs, SQL_MINHASH_LSH),
+    "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, SQL_NGRAM_JACCARD),
+    "simhash_pairs": (q_simhash_pairs, SQL_SIMHASH),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, SQL_EMBEDDING_NEARDUP),
+    "embedding_neardup_dedup": (
+        q_embedding_neardup_dedup, SQL_EMBEDDING_NEARDUP_DEDUP),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "span_kind_violations": (q_span_kind_violations, SQL_SPAN_KIND),
+    "span_mutex_violations": (q_span_mutex_violations, SQL_SPAN_MUTEX),
+    "span_mono_violations": (q_span_mono_violations, SQL_SPAN_MONO),
+    "percentiles_hist_lineitem": (q_percentiles_hist_lineitem, SQL_PERCENTILES_HIST),
+    "drift_ks_event_value": (q_drift_ks_event_value, SQL_DRIFT_KS),
+    "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
+    "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
+    "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
+    "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
+    "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
+    "eval_cooccurrence": (q_eval_cooccurrence, SQL_EVAL_COOC),
+    "dense_ids_event_types": (q_dense_ids_event_types, SQL_DENSE_IDS),
+    "sample_capped_per_group": (q_sample_capped_per_group, SQL_SAMPLE_CAPPED),
+    "eval_averaged": (q_eval_averaged, SQL_EVAL_AVERAGED),
+    "uniqueness_lineitem_orderkey": (q_uniqueness_lineitem_orderkey, SQL_UNIQUENESS),
+    "referential_media_refs": (q_referential_media_refs, SQL_REF_MEDIA),
+    "column_stats_orders": (q_column_stats_orders, SQL_COLUMN_STATS),
+    "hash_split_assign": (q_hash_split_assign, SQL_HASH_SPLIT),
+    "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
 }
 
 QUERIES = {**QUERIES_HEAD, **QUERIES_PARKED}
