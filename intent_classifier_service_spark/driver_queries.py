@@ -2429,14 +2429,41 @@ def q_ivf_topk_indexed(spark, sf_dir):
     ]
     # cache key includes the source file's mtime+size so a regenerated
     # embeddings table invalidates the cached index instead of silently
-    # serving stale cells
+    # serving stale cells ("_reb" suffix: the round-7 lifecycle below
+    # invalidates any pre-rebalance cached index)
     src = os.path.join(sf_dir, "embeddings.parquet")
     st = os.stat(src)
-    path = (f"/tmp/spark_graft_ivf_idx_"
+    path = (f"/tmp/spark_graft_ivf_idx_reb_"
             f"{os.path.basename(os.path.normpath(sf_dir))}"
             f"_{st.st_mtime_ns}_{st.st_size}")
-    if not glob.glob(os.path.join(path, "centroids", "_SUCCESS")):
+    if not glob.glob(os.path.join(path, "manifest.json")):
+        # full index LIFECYCLE (round-6 verdict #7): build → drifted
+        # append that blows one cell past the skew threshold (3n
+        # vectors in two 2-means-separable sub-clusters around corpus
+        # vec 0) → rebalance splits the hot cell — the query below must
+        # stay exact over the rebuilt cell layout. All deterministic
+        # (seeded), so the cached index is a pure function of the input.
+        import numpy as np
+
         similarity.build_ivf_index(corpus, path, n_centroids=16)
+        n = corpus.count()
+        base_vec = np.array(
+            [float(x) for x in qs[0][1]], dtype=np.float64)
+        rng = np.random.RandomState(11)
+        u = rng.normal(size=base_vec.shape)
+        u /= np.linalg.norm(u)
+        bn = max(float(np.linalg.norm(base_vec)), 1e-12)
+        drift = spark.createDataFrame(
+            [(int(200000 + i),
+              (base_vec + (0.35 if i % 2 == 0 else -0.35) * u * bn
+               + rng.normal(scale=1e-3 * bn, size=base_vec.shape)).tolist())
+             for i in range(3 * n)],
+            "vec_id long, embedding array<float>",
+        )
+        m = similarity.append_to_ivf_index(spark, path, drift)
+        if m["rebalance_recommended"]:  # deterministic at the test SFs;
+            # pinned True in tests/test_similarity_extra.py
+            similarity.rebalance_ivf_cells(spark, path)
     out = similarity.ivf_topk_indexed(spark, path, qs, k=10, n_probe=4)
     return out.filter(F.col("rank") == 1).select("query_id", "vec_id", "rank")
 
