@@ -3194,6 +3194,121 @@ SELECT doc_id, lang FROM (
 ) WHERE quota IS NOT NULL AND rn <= quota
 """
 
+# ---- round-7 pipeline ops: overflow chunking + token-grain mixture ----
+
+def q_split_overflow_chunks(spark, sf_dir):
+    """Overflow chunking (packing.split_overflow): docs whose token
+    count exceeds the 32-token budget — pack_greedy's overflow frame —
+    explode into ceil(n/32) chunks of exactly 32 tokens plus a
+    remainder tail, keyed (doc_id, chunk_index). The explicit version
+    of dataloader truncation; chunk rows feed back into pack_greedy.
+    Pure stateless projection (zero shuffle, plan-gated)."""
+    from .operators import packing
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", textstats.token_count(F.col("text")).alias("n_tokens")
+    )
+    _, overflow = packing.pack_greedy(docs, 32)
+    return packing.split_overflow(overflow, 32)
+
+
+# DuckDB's unnest expands in the select list; the outer select derives
+# chunk_tokens from (ntok, chunk_index)
+SQL_SPLIT_OVERFLOW_CHUNKS = f"""
+WITH meta AS (
+  SELECT doc_id, CAST({_SQL_NTOK_INLINE} AS BIGINT) AS ntok
+  FROM documents WHERE text IS NOT NULL
+), overflow AS (
+  SELECT doc_id, ntok FROM meta WHERE ntok > 32
+), exploded AS (
+  SELECT doc_id, ntok,
+         CAST(unnest(range(CAST(ceil(ntok / 32.0) AS BIGINT))) AS INTEGER)
+           AS chunk_index
+  FROM overflow
+)
+SELECT doc_id, chunk_index,
+       CAST(least(32, ntok - chunk_index * 32) AS BIGINT) AS chunk_tokens
+FROM exploded
+"""
+
+
+_MIXTOK_TOTAL = 20_000
+_MIXTOK_QUOTAS = {g: int(_MIXTOK_TOTAL * w / sum(_MIX_W.values()))
+                  for g, w in _MIX_W.items()}
+
+
+def q_mixture_sample_tokens(spark, sf_dir):
+    """Token-grain mixture sampling (sampling.mixture_sample_tokens):
+    per-lang token quota floor(20000 · w), greedy prefix in (Knuth-hash
+    bucket, doc_id) order until the quota is crossed — resolved via the
+    two-phase SUM-histogram path, semantically the declarative
+    'running-sum-before < quota' window the oracle states."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return sampling.mixture_sample_tokens(
+        docs, "lang", _MIX_W, total_tokens=_MIXTOK_TOTAL,
+        order_col="doc_id", portable=True)
+
+
+SQL_MIXTURE_SAMPLE_TOKENS = f"""
+WITH d AS (
+  SELECT doc_id, lang, CAST({_SQL_NTOK_INLINE} AS BIGINT) AS n_tokens,
+         (doc_id * 2654435761) % 4294967296 % 4096 AS bkt
+  FROM documents
+), ranked AS (
+  SELECT doc_id, lang, n_tokens,
+         coalesce(sum(n_tokens) OVER (
+             PARTITION BY lang ORDER BY bkt, doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before_tok,
+         CASE lang WHEN 'en' THEN {_MIXTOK_QUOTAS['en']}
+                   WHEN 'de' THEN {_MIXTOK_QUOTAS['de']}
+                   WHEN 'fr' THEN {_MIXTOK_QUOTAS['fr']}
+                   WHEN 'zh' THEN {_MIXTOK_QUOTAS['zh']} END AS quota
+  FROM d
+)
+SELECT doc_id, lang, n_tokens
+FROM ranked WHERE quota IS NOT NULL AND before_tok < quota
+"""
+
+
+_EPOCH_W = {**_MIX_W, "code": 0.1}  # 'code' absent from the corpus
+_EPOCH_TOTAL = 5_000_000
+_EPOCH_QUOTAS = {g: int(_EPOCH_TOTAL * w / sum(_EPOCH_W.values()))
+                 for g, w in _EPOCH_W.items()}
+
+
+def q_mixture_epoch_plan(spark, sf_dir):
+    """Data-mixing plan (sampling.mixture_epoch_plan): per weighted
+    source — available vs target whitespace tokens and the repetition
+    factor (epochs) a 5M-token run needs; the weighted-but-absent
+    'code' source surfaces with 0 available and NULL epochs instead of
+    vanishing. One map-side agg + literal arithmetic."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "lang", textstats.token_count(F.col("text")).alias("n_tokens"))
+    return sampling.mixture_epoch_plan(
+        docs, "lang", _EPOCH_W, total_tokens=_EPOCH_TOTAL)
+
+
+SQL_MIXTURE_EPOCH_PLAN = f"""
+WITH avail AS (
+  SELECT lang, CAST(sum({_SQL_NTOK_INLINE}) AS BIGINT) AS available_tokens
+  FROM documents GROUP BY lang
+), targets(lang, target_tokens) AS (VALUES
+  {", ".join(f"('{g}', CAST({q} AS BIGINT))" for g, q in _EPOCH_QUOTAS.items())}
+)
+SELECT t.lang,
+       CAST(coalesce(a.available_tokens, 0) AS BIGINT) AS available_tokens,
+       t.target_tokens,
+       CASE WHEN coalesce(a.available_tokens, 0) > 0
+            THEN round(CAST(t.target_tokens AS DOUBLE)
+                       / a.available_tokens, 6) END AS epochs
+FROM targets t LEFT JOIN avail a USING (lang)
+"""
+
+
 # Paragraph-dedup driver queries: the corpus text carries no newlines,
 # so multi-paragraph documents are synthesized deterministically from
 # doc_id — a FIXED 3-paragraph structure (unique intro / mod-selected
@@ -3296,23 +3411,28 @@ LEFT JOIN (
 # tests/test_oracle_parity.py::test_driver_window_exactly_filled);
 # QUERIES_PARKED holds the rest, strict-parity-checked every session
 # via tools/strict_parity.py. Round-7 rotation (round-6 verdict #4):
-# the head carries (a) the 3 queries whose implementation changed this
-# round — mixture_sample (two-phase hash-rank quota path + new
-# portable oracle), pack_conservation (multi-batch + Fenwick best-fit
-# kernel), corpus_token_budget (new est_subword_tokens column) — (b)
-# ALL 34 queries parked through rounds 5-6 riding r05 rows (the full
-# TPC-H block q2/q7-q12/q14-q20, the ANN trio, the drift PSI/KS
-# family, stratified_sample, text_profile, embedding_stats, the
-# large-dim referential variant, ...), and (c) 13 stable r06-green
-# fillers spanning the rule/eval/window families. The 34 parked rows
-# are all r06-driver-green and unchanged this round.
+# the head carries (a) the 6 queries new or changed this round —
+# mixture_sample (two-phase hash-rank quota path + new portable
+# oracle), pack_conservation (multi-batch + Fenwick best-fit kernel),
+# corpus_token_budget (new est_subword_tokens column),
+# split_overflow_chunks / mixture_sample_tokens / mixture_epoch_plan
+# (new operators) — (b) ALL 34 queries parked through rounds 5-6
+# riding r05 rows (the full TPC-H block q2/q7-q12/q14-q20, the ANN
+# trio, the drift PSI/KS family, stratified_sample, text_profile,
+# embedding_stats, the large-dim referential variant, ...), and (c) 10
+# stable r06-green fillers spanning the rule/eval/window families. The
+# 37 parked rows are all r06-driver-green and unchanged this round.
 DRIVER_WINDOW = 50
 
 QUERIES_HEAD = {
-    # -- (a) implementation/oracle changed in round 7 ----------------------
+    # -- (a) new or implementation/oracle changed in round 7 ---------------
     "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
     "pack_conservation": (q_pack_conservation, SQL_PACK_CONSERVATION),
     "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
+    "split_overflow_chunks": (q_split_overflow_chunks, SQL_SPLIT_OVERFLOW_CHUNKS),
+    "mixture_sample_tokens": (
+        q_mixture_sample_tokens, SQL_MIXTURE_SAMPLE_TOKENS),
+    "mixture_epoch_plan": (q_mixture_epoch_plan, SQL_MIXTURE_EPOCH_PLAN),
     # -- (b) everything that rode r05 rows through round 6 -----------------
     "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
     "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
@@ -3357,19 +3477,19 @@ QUERIES_HEAD = {
     "arrow_span_violations": (q_arrow_span_violations, SQL_ARROW_SPAN),
     "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
     "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
-    "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
     "dedup_earliest_window": (
         q_dedup_earliest_window, SQL_DEDUP_EARLIEST_WINDOW),
-    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
-    "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
 }
 
 # Past the driver window: all r06-driver-green, unchanged this round,
 # strict-parity-verified every session.
 QUERIES_PARKED = {
+    "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
+    "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
+    "word_topk": (q_word_topk, SQL_WORD_TOPK),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
     "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),

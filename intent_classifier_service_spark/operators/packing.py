@@ -184,6 +184,38 @@ def pack_greedy(docs: DataFrame, max_tokens: int, id_col: str = "doc_id",
     return packed, overflow
 
 
+def split_overflow(overflow: DataFrame, max_tokens: int,
+                   id_col: str = "doc_id",
+                   tokens_col: str = "n_tokens") -> DataFrame:
+    """Turn pack_greedy's overflow frame (docs longer than the budget)
+    into packable chunks: doc of n tokens → ceil(n / max_tokens)
+    chunks of max_tokens each, the last carrying the remainder —
+    (id, chunk_index, chunk_tokens). The EXPLICIT version of what a
+    dataloader's truncation does silently; chunk rows feed back into
+    pack_greedy keyed by (id, chunk_index).
+
+    Scale shape: a pure stateless projection — F.sequence + explode,
+    zero shuffle, zero Python; a doc's chunk list is a function of its
+    own token count alone."""
+    if max_tokens <= 0:
+        raise ValueError("max_tokens must be positive")
+    n = F.col(tokens_col).cast("long")
+    n_chunks = F.ceil(n / F.lit(max_tokens)).cast("int")
+    return (
+        overflow.filter(n.isNotNull() & (n > 0))
+        .select(
+            F.col(id_col), n.alias("_n"),
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_index"),
+        )
+        .select(
+            id_col, "chunk_index",
+            F.least(F.lit(max_tokens),
+                    F.col("_n") - F.col("chunk_index") * F.lit(max_tokens))
+            .cast("long").alias("chunk_tokens"),
+        )
+    )
+
+
 def pack_assignments(packed: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """(id, seq_id): the per-document view of a packing — the doc-
     conservation projection the driver oracle checks (every eligible

@@ -283,3 +283,126 @@ def mixture_sample(df: DataFrame, group: str, weights: dict[str, float],
         .drop("_rn")
     )
     return below.unionByName(boundary).drop("_mbkt", "_t", "_need")
+
+
+def mixture_sample_tokens(df: DataFrame, group: str,
+                          weights: dict[str, float], total_tokens: int,
+                          tokens_col: str = "n_tokens",
+                          order_col: str | None = None, seed: int = 42,
+                          buckets: int = 4096,
+                          portable: bool = False) -> DataFrame:
+    """mixture_sample at TOKEN grain — the unit training mixtures are
+    actually stated in: per group g, take the greedy prefix of rows in
+    (hash bucket, rank key) order until the group's token quota
+    floor(total_tokens · w_g / Σw) is reached (a row is taken iff the
+    tokens BEFORE it are still under quota, so the crossing row is
+    included and every group overshoots by < one document). Groups
+    absent from ``weights`` are excluded; under-full groups surface as
+    shortfall, never cross-group substitution.
+
+    Same two-phase scale shape as mixture_sample's hash path, with SUM
+    histograms: one map-side groupBy(group, bucket).sum(tokens) →
+    driver boundary scan → stateless filter for below-boundary buckets
+    + an exact running-sum window over ONLY the boundary bucket
+    (~group/buckets rows). The selected set equals the declarative
+    'running-sum-before < quota over (bucket, key) order' definition —
+    SQL-expressible for the oracle."""
+    wsum = sum(weights.values())
+    quotas = {g: int(total_tokens * w / wsum) for g, w in weights.items()}
+    if not quotas:
+        return df.limit(0)
+    if order_col is not None:
+        key = F.col(order_col)
+        order = F.col(order_col)
+    else:
+        key = F.xxhash64(F.lit(seed), *[F.col(c) for c in df.columns])
+        order = key
+    if portable:
+        h = F.pmod(key.cast("long") * F.lit(2654435761), F.lit(2**32))
+    else:
+        h = F.xxhash64(F.lit(seed), key)
+    toks = F.col(tokens_col).cast("long")
+    with_bkt = df.filter(toks.isNotNull()).withColumn(
+        "_mbkt", F.pmod(h, F.lit(buckets)))
+    hist: dict[tuple, int] = {
+        (r["_g"], r["_b"]): r["_s"]
+        for r in with_bkt.groupBy(
+            F.col(group).alias("_g"), F.col("_mbkt").alias("_b"))
+        .agg(F.sum(toks).alias("_s")).collect()
+    }
+    # boundary bucket per group: buckets < t_g are fully under quota
+    # cumulatively; bucket t_g is where the running token sum crosses
+    thresholds: dict[object, tuple[int, int]] = {}
+    for g, q in quotas.items():
+        if q <= 0:
+            thresholds[g] = (-1, 0)
+            continue
+        cum, t, rem = 0, buckets, 0  # defaults: group's tokens < quota
+        for bk in sorted(b for gg, b in hist if gg == g):
+            s = hist[(g, bk)]
+            if cum + s >= q:
+                t, rem = bk, q - cum  # token budget left inside bucket t
+                break
+            cum += s
+        thresholds[g] = (t, rem)
+    t_expr = rem_expr = None
+    for g, (t, rem) in thresholds.items():
+        cond = F.col(group) == F.lit(g)
+        t_expr = (F.when(cond, F.lit(t)) if t_expr is None
+                  else t_expr.when(cond, F.lit(t)))
+        rem_expr = (F.when(cond, F.lit(rem)) if rem_expr is None
+                    else rem_expr.when(cond, F.lit(rem)))
+    sel = (
+        with_bkt.withColumn("_t", t_expr.otherwise(F.lit(None)))
+        .withColumn("_rem", rem_expr.otherwise(F.lit(None)))
+        .filter(F.col("_t").isNotNull())
+    )
+    below = sel.filter(F.col("_mbkt") < F.col("_t"))
+    w = (Window.partitionBy(group).orderBy(order)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    boundary = (
+        sel.filter(F.col("_mbkt") == F.col("_t"))
+        .withColumn("_before", F.coalesce(F.sum(toks).over(w), F.lit(0)))
+        .filter(F.col("_before") < F.col("_rem"))
+        .drop("_before")
+    )
+    return below.unionByName(boundary).drop("_mbkt", "_t", "_rem")
+
+
+def mixture_epoch_plan(df: DataFrame, group: str,
+                       weights: dict[str, float], total_tokens: int,
+                       tokens_col: str = "n_tokens") -> DataFrame:
+    """The data-mixing PLAN a token-budgeted run needs before sampling:
+    per weighted group — (group, available_tokens, target_tokens,
+    epochs) where target = floor(total_tokens · w_g / Σw) and epochs =
+    target / available (the repetition factor: > 1 means the source
+    must be up-sampled/repeated to hit its share, the standard
+    small-high-quality-source situation; < 1 means sub-sampling, i.e.
+    mixture_sample_tokens territory). Groups with no corpus rows still
+    appear with available_tokens = 0 and NULL epochs — a silent
+    missing source is exactly the planning bug to surface.
+
+    One map-side-combinable agg over two narrow columns + literal
+    arithmetic; metadata-sized output (one row per weighted source)."""
+    wsum = sum(weights.values())
+    spark = df.sparkSession
+    tdf = spark.createDataFrame(
+        [(g, int(total_tokens * w / wsum)) for g, w in weights.items()],
+        f"{group} string, target_tokens long")
+    avail = (
+        df.filter(F.col(group).isin(list(weights)))
+        .groupBy(group)
+        .agg(F.sum(F.col(tokens_col).cast("long")).alias("available_tokens"))
+    )
+    return (
+        tdf.join(avail, group, "left")
+        .select(
+            group,
+            F.coalesce("available_tokens", F.lit(0)).alias("available_tokens"),
+            "target_tokens",
+            F.when(F.coalesce("available_tokens", F.lit(0)) > 0,
+                   F.round(F.col("target_tokens")
+                           / F.col("available_tokens"), 6))
+            .alias("epochs"),
+        )
+    )

@@ -465,7 +465,12 @@ def rebalance_ivf_cells(spark, path: str,
     exceeds ``max_cell_ratio`` × the mean cell size is SPLIT by a local
     2-means trained on that cell alone — one subcluster keeps the old
     cell id (its centroid updated in place), the other gets a fresh id.
-    Returns the updated manifest.
+    Returns the updated manifest. ONE split round per call,
+    deliberately: if the manifest still recommends rebalancing
+    afterwards, the data genuinely concentrates (a pile of
+    near-duplicate vectors is one true cluster no clustering can
+    split) — the right response is near-dup dedup or a full retrain,
+    not more splitting churn.
 
     Scale shape: only the hot cells are read (directory-level pruning —
     each is read from its own cell=<id> path) and only their partitions

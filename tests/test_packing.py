@@ -156,3 +156,45 @@ def test_pack_best_fit_kernel_matches_reference_loop():
     assert all(0 < total <= cap for _, total in out)
     lower = -(-sum(toks) // cap)
     assert len(out) <= lower * 1.01 + 1, (len(out), lower)
+
+
+def test_split_overflow_chunks(spark):
+    """Overflow docs chunk into ceil(n/max) pieces of exactly max
+    tokens plus a remainder tail; token totals conserve; chunk rows are
+    packable (composition with pack_greedy keyed by (id, chunk))."""
+    docs = _docs(spark, n=400)  # tokens 1..97
+    cap = 32
+    _, overflow = packing.pack_greedy(docs, cap)
+    chunks = packing.split_overflow(overflow, cap)
+    got = chunks.collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_index"], r["chunk_tokens"]))
+    orig = {r["doc_id"]: r["n_tokens"] for r in overflow.collect()}
+    assert set(by_doc) == set(orig)
+    for did, parts in by_doc.items():
+        parts.sort()
+        n = orig[did]
+        assert len(parts) == -(-n // cap)                    # ceil
+        assert [i for i, _ in parts] == list(range(len(parts)))
+        assert sum(t for _, t in parts) == n                 # conservation
+        assert all(0 < t <= cap for _, t in parts)
+        assert all(t == cap for _, t in parts[:-1])          # full heads
+    # composition: chunks pack cleanly under the same budget
+    ck = chunks.select(
+        F.concat_ws("#", F.col("doc_id").cast("string"),
+                    F.col("chunk_index").cast("string")).alias("doc_id"),
+        F.col("chunk_tokens").alias("n_tokens"))
+    packed2, overflow2 = packing.pack_greedy(ck, cap)
+    assert overflow2.count() == 0
+    assert packing.pack_assignments(packed2).count() == chunks.count()
+
+
+def test_split_overflow_is_shuffle_free(spark):
+    docs = _docs(spark, n=100)
+    _, overflow = packing.pack_greedy(docs, 32)
+    chunks = packing.split_overflow(overflow, 32)
+    p = chunks._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p

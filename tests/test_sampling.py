@@ -217,3 +217,70 @@ def test_mixture_sample_hash_no_order_col_and_window_parity(spark):
     wcounts = {r["grp"]: r["n"] for r in
                wout.groupBy("grp").agg(F.count("*").alias("n")).collect()}
     assert wcounts == counts
+
+
+def test_mixture_sample_tokens_greedy_prefix(spark):
+    """Token-grain mixture: each group's selected docs are exactly the
+    greedy (bucket, id)-order prefix whose preceding token sum is under
+    the group quota — so every group overshoots by < one doc; shortfall
+    groups keep everything; unweighted groups are excluded."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from intent_classifier_service_spark.operators import sampling as S
+
+    df = spark.createDataFrame(
+        [("a", i, 10 + i % 7) for i in range(300)]        # ~3.9k tokens
+        + [("b", 1000 + i, 50) for i in range(10)]        # 500 tokens
+        + [("x", 2000 + i, 5) for i in range(20)],        # unweighted
+        "grp string, doc_id long, n_tokens long")
+    out = S.mixture_sample_tokens(df, "grp", {"a": 0.5, "b": 0.5},
+                                  total_tokens=2000, order_col="doc_id",
+                                  buckets=64)
+    sums = {r["grp"]: (r["s"], r["n"]) for r in
+            out.groupBy("grp").agg(F.sum("n_tokens").alias("s"),
+                                   F.count("*").alias("n")).collect()}
+    assert set(sums) == {"a", "b"}
+    # quota 1000 each: 'a' lands in [1000, 1000 + max_doc); 'b' has only
+    # 500 tokens available -> all 10 docs survive (shortfall, no top-up)
+    assert 1000 <= sums["a"][0] < 1000 + 17
+    assert sums["b"] == (500, 10)
+    # declarative twin: running-sum-before < quota over (bucket, id)
+    bkt = F.pmod(F.xxhash64(F.lit(42), F.col("doc_id")), F.lit(64))
+    w = (Window.partitionBy("grp").orderBy(bkt, "doc_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    quota = F.when(F.col("grp") == "a", 1000).when(F.col("grp") == "b", 1000)
+    ref = (df.withColumn("_before", F.coalesce(F.sum("n_tokens").over(w),
+                                               F.lit(0)))
+           .filter(quota.isNotNull() & (F.col("_before") < quota))
+           .drop("_before"))
+    assert out.exceptAll(ref).count() == 0
+    assert ref.exceptAll(out).count() == 0
+    # deterministic across runs
+    again = S.mixture_sample_tokens(df, "grp", {"a": 0.5, "b": 0.5},
+                                    total_tokens=2000, order_col="doc_id",
+                                    buckets=64)
+    assert out.exceptAll(again).count() == 0
+
+
+def test_mixture_epoch_plan(spark):
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.operators import sampling as S
+
+    df = spark.createDataFrame(
+        [("web", i, 100) for i in range(50)]      # 5000 tokens
+        + [("books", 100 + i, 10) for i in range(10)],  # 100 tokens
+        "src string, doc_id long, n_tokens long")
+    plan = S.mixture_epoch_plan(
+        df, "src", {"web": 0.5, "books": 0.4, "code": 0.1},
+        total_tokens=10_000)
+    rows = {r["src"]: r for r in plan.collect()}
+    assert set(rows) == {"web", "books", "code"}
+    assert rows["web"]["available_tokens"] == 5000
+    assert rows["web"]["target_tokens"] == 5000
+    assert rows["web"]["epochs"] == 1.0
+    assert rows["books"]["available_tokens"] == 100
+    assert rows["books"]["target_tokens"] == 4000
+    assert rows["books"]["epochs"] == 40.0      # must repeat 40x
+    # a weighted source absent from the corpus surfaces, not vanishes
+    assert rows["code"]["available_tokens"] == 0
+    assert rows["code"]["epochs"] is None
