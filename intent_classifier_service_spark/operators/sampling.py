@@ -306,7 +306,8 @@ def mixture_sample_tokens(df: DataFrame, group: str,
     + an exact running-sum window over ONLY the boundary bucket
     (~group/buckets rows). The selected set equals the declarative
     'running-sum-before < quota over (bucket, key) order' definition —
-    SQL-expressible for the oracle."""
+    SQL-expressible for the oracle. Rows with a NULL token count are
+    excluded (a doc of unknown length can't be budgeted)."""
     wsum = sum(weights.values())
     quotas = {g: int(total_tokens * w / wsum) for g, w in weights.items()}
     if not quotas:

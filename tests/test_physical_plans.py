@@ -245,6 +245,17 @@ def test_mixture_sample_window_is_boundary_bucket_only(spark):
     # and the below-threshold branch is a windowless pmod(...) < filter
     assert re.search(r"pmod\([^\n]*\) < CASE", p), p
 
+    # the token-grain variant shares the two-phase shape: its one
+    # Window (the boundary running sum) also sits above the boundary-
+    # bucket equality filter
+    p2 = _plan(DQ.q_mixture_sample_tokens(spark, SF))
+    lines2 = p2.splitlines()
+    wins2 = [i for i, ln in enumerate(lines2) if re.search(r"\bWindow\b", ln)]
+    assert len(wins2) == 1, f"expected exactly one Window:\n{p2}"
+    subtree2 = "\n".join(lines2[wins2[0]:wins2[0] + 10])
+    assert re.search(r"pmod\([^\n]*\) = CASE", subtree2), subtree2
+    assert re.search(r"pmod\([^\n]*\) < CASE", p2), p2
+
 
 def test_paragraph_dedup_driver_query_plans(spark):
     """The driver-facing paragraph queries stay equi-join only (the
