@@ -387,9 +387,10 @@ def mixture_epoch_plan(df: DataFrame, group: str,
     arithmetic; metadata-sized output (one row per weighted source)."""
     wsum = sum(weights.values())
     spark = df.sparkSession
+    gtype = df.schema[group].dataType.simpleString()
     tdf = spark.createDataFrame(
         [(g, int(total_tokens * w / wsum)) for g, w in weights.items()],
-        f"{group} string, target_tokens long")
+        f"{group} {gtype}, target_tokens long")
     avail = (
         df.filter(F.col(group).isin(list(weights)))
         .groupBy(group)

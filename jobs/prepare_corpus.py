@@ -1,0 +1,232 @@
+"""End-to-end training-corpus preparation — the composition a 100 TB
+LLM-data pipeline actually runs, built entirely from the engine's
+oracled operators (each stage is individually driver-verified; this
+job is the wiring):
+
+  read documents(doc_id, text, ...)
+    → quality filter            (textstats.quality_score threshold)
+    → exact dedup               (dedup.exact_dedup, min-id survivor)
+    → near-dup dedup            (minhash LSH pairs → clusters → survivor)
+    → leakage-safe split        (cluster-keyed hash split: a train doc's
+                                 near-copy can never land in eval)
+    → token budget report       (docs + whitespace/subword tokens per
+                                 (lang, split) — parquet + summary)
+    → optional token mixture    (--mixture: train split resampled to a
+                                 target source mix at TOKEN grain)
+    → pack train sequences      (pack_greedy at --max-tokens; overflow
+                                 docs chunked via split_overflow and
+                                 re-packed — nothing silently truncated)
+
+Outputs under --output:
+  corpus/        deduped split corpus (doc_id, lang, split, n_tokens)
+  budget/        per-(lang, split) token budget table
+  sequences/     packed train sequences (seq_id, doc_ids, n_docs,
+                 total_tokens, fill_ratio)
+Prints ONE JSON summary line; exit 0 on success.
+
+Scale notes: every stage is the operator's documented shape — no
+all-pairs joins (LSH bands only), no per-source windows (two-phase
+hash-rank mixture), no unbucketed packing. The corpus is persisted
+once after dedup (it feeds split + budget + packing); at 100 TB you
+would materialize that stage to parquet instead (swap persist() for a
+write+read) — same plan shape.
+
+spark-submit --py-files engine.zip jobs/prepare_corpus.py \
+    --input /data/documents.parquet --output /out \
+    --max-tokens 2048 --splits train=0.98,val=0.01,test=0.01 \
+    --neardup --mixture en=0.5,de=0.2,fr=0.2,zh=0.1 \
+    --mixture-total-tokens 1000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from intent_classifier_service_spark.operators import (  # noqa: E402
+    dedup, packing, sampling, textstats)
+from intent_classifier_service_spark.session import get_spark  # noqa: E402
+
+
+def _parse_weights(s: str) -> dict[str, float]:
+    out = {}
+    for part in s.split(","):
+        k, v = part.split("=")
+        out[k.strip()] = float(v)
+    return out
+
+
+def run(spark, docs, output: str, max_tokens: int = 2048,
+        splits: dict[str, float] | None = None,
+        min_quality: float | None = None,
+        neardup: bool = False,
+        mixture: dict[str, float] | None = None,
+        mixture_total_tokens: int | None = None,
+        train_split: str = "train",
+        para_min_chars: int | None = None) -> dict:
+    """The pipeline over a (doc_id, text, lang, ...) frame. Returns the
+    summary dict (also what main() prints)."""
+    splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
+    t0 = time.time()
+    summary: dict = {}
+    n_in = docs.count()
+    summary["n_input_docs"] = n_in
+
+    # -- optional cross-doc boilerplate strip (text rewritten) ---------
+    if para_min_chars is not None:
+        docs = dedup.strip_duplicate_paragraphs(
+            docs.select("doc_id", "text", "lang"),
+            min_chars=para_min_chars,
+        ).join(docs.drop("text"), "doc_id")
+
+    # -- quality gate ---------------------------------------------------
+    if min_quality is not None:
+        docs = docs.withColumn("_q", textstats.quality_score("text"))
+        kept = docs.filter(F.col("_q") >= min_quality).drop("_q")
+        summary["n_quality_dropped"] = n_in - kept.count()
+        docs = kept
+
+    # -- exact dedup (hash of normalized text, min-id survivor) ----------
+    exact = dedup.exact_dedup(docs)
+    n_exact = exact.count()
+    summary["n_exact_dup_dropped"] = (
+        n_in - summary.get("n_quality_dropped", 0) - n_exact)
+
+    # -- near-dup dedup + clusters (clusters also key the split) ---------
+    clusters = None
+    if neardup:
+        pairs = dedup.minhash_lsh_pairs(exact.select("doc_id", "text"))
+        clusters = dedup.neardup_clusters(pairs)
+        deduped = dedup.neardup_dedup(exact, pairs)
+        summary["n_neardup_dropped"] = n_exact - deduped.count()
+    else:
+        deduped = exact
+
+    # -- leakage-safe deterministic split --------------------------------
+    if clusters is not None:
+        split_docs = sampling.leakage_safe_split(deduped, clusters, splits)
+    else:
+        split_docs = sampling.hash_split(deduped, splits)
+
+    corpus = split_docs.select(
+        "doc_id", "lang", "split",
+        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        textstats.subword_estimate("text").cast("long")
+        .alias("est_subword_tokens"),
+    ).persist()  # feeds budget + mixture + packing (3 actions)
+    corpus.write.mode("overwrite").parquet(os.path.join(output, "corpus"))
+
+    # -- token budget report ---------------------------------------------
+    budget = corpus.groupBy("lang", "split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("est_subword_tokens").alias("est_subword_tokens"),
+    )
+    budget.write.mode("overwrite").parquet(os.path.join(output, "budget"))
+    summary["split_tokens"] = {
+        r["split"]: r["t"]
+        for r in corpus.groupBy("split").agg(F.sum("n_tokens").alias("t"))
+        .collect()
+    }
+
+    # -- train selection (optional token-grain mixture) -------------------
+    train = corpus.filter(F.col("split") == train_split)
+    if mixture is not None:
+        total = mixture_total_tokens or sum(
+            v for k, v in summary["split_tokens"].items() if k == train_split)
+        train = sampling.mixture_sample_tokens(
+            train, "lang", mixture, total_tokens=total,
+            order_col="doc_id")
+        summary["mixture_tokens"] = {
+            r["lang"]: r["t"]
+            for r in train.groupBy("lang").agg(F.sum("n_tokens").alias("t"))
+            .collect()
+        }
+
+    # -- pack train docs into fixed-budget sequences ----------------------
+    packed, overflow = packing.pack_greedy(train, max_tokens)
+    chunks = packing.split_overflow(overflow, max_tokens)
+    # chunk rows re-pack under a composite string id (doc#chunk) — the
+    # doc_ids arrays in chunk sequences carry those composite ids
+    chunk_docs = chunks.select(
+        F.concat_ws("#", F.col("doc_id").cast("string"),
+                    F.col("chunk_index").cast("string")).alias("doc_id"),
+        F.col("chunk_tokens").alias("n_tokens"))
+    packed_chunks, ov2 = packing.pack_greedy(chunk_docs, max_tokens)
+    n_ov2 = ov2.count()
+    if n_ov2:  # chunks are <= max_tokens by construction
+        raise AssertionError(f"{n_ov2} chunks overflowed their own budget")
+    seqs = packed.select(
+        "seq_id", F.col("doc_ids").cast("array<string>").alias("doc_ids"),
+        "n_docs", "total_tokens", "fill_ratio",
+        F.lit(False).alias("from_overflow_chunks"),
+    ).unionByName(
+        packed_chunks.withColumn(
+            "seq_id", F.concat(F.lit("ov-"), "seq_id"))
+        .withColumn("from_overflow_chunks", F.lit(True))
+    )
+    seqs.write.mode("overwrite").parquet(os.path.join(output, "sequences"))
+    seq_stats = spark.read.parquet(os.path.join(output, "sequences")).agg(
+        F.count(F.lit(1)).alias("n_seq"),
+        F.sum("total_tokens").alias("packed_tokens"),
+        F.avg("fill_ratio").alias("mean_fill"),
+        F.sum("n_docs").alias("n_packed_units"),
+    ).collect()[0]
+    summary.update({
+        "n_sequences": seq_stats["n_seq"],
+        "packed_tokens": seq_stats["packed_tokens"],
+        "mean_fill": round(seq_stats["mean_fill"], 4),
+        "n_overflow_docs_chunked": overflow.count(),
+        "max_tokens": max_tokens,
+        "wall_sec": round(time.time() - t0, 3),
+    })
+    corpus.unpersist()
+    return summary
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default=None,
+                    help="documents parquet (doc_id, text, lang, ...); "
+                         "default: $SPARK_GRAFT_SF_DIR/documents.parquet")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--max-tokens", type=int, default=2048)
+    ap.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
+    ap.add_argument("--min-quality", type=float, default=None)
+    ap.add_argument("--neardup", action="store_true",
+                    help="MinHash near-dup dedup + cluster-keyed split")
+    ap.add_argument("--mixture", default=None,
+                    help="token-grain source mixture for the train split, "
+                         "e.g. en=0.5,de=0.2,fr=0.2,zh=0.1")
+    ap.add_argument("--mixture-total-tokens", type=int, default=None)
+    ap.add_argument("--strip-dup-paragraphs", action="store_true")
+    ap.add_argument("--para-min-chars", type=int, default=30)
+    args = ap.parse_args()
+
+    spark = get_spark("prepare_corpus")
+    src = args.input or os.path.join(
+        os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"),
+        "documents.parquet")
+    docs = spark.read.parquet(src)
+    summary = run(
+        spark, docs, args.output, max_tokens=args.max_tokens,
+        splits=_parse_weights(args.splits),
+        min_quality=args.min_quality,
+        neardup=args.neardup,
+        mixture=_parse_weights(args.mixture) if args.mixture else None,
+        mixture_total_tokens=args.mixture_total_tokens,
+        para_min_chars=args.para_min_chars if args.strip_dup_paragraphs else None,
+    )
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

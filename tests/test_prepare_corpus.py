@@ -1,0 +1,95 @@
+"""End-to-end corpus preparation job (jobs/prepare_corpus.py): the
+composition of quality gate → exact/near dedup → leakage-safe split →
+token budget → token mixture → packing, with every stage invariant
+asserted on the real sf0.01 documents table."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from intent_classifier_service_spark.operators import dedup
+from jobs import prepare_corpus
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_prepare_corpus_end_to_end(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "prep")
+    cap = 48  # small enough that some docs overflow into chunks
+    summary = prepare_corpus.run(
+        spark, docs, out, max_tokens=cap,
+        splits={"train": 0.8, "val": 0.1, "test": 0.1},
+        neardup=True,
+    )
+    assert summary["n_input_docs"] == docs.count()
+
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    n_corpus = corpus.count()
+    assert n_corpus == (summary["n_input_docs"]
+                        - summary["n_exact_dup_dropped"]
+                        - summary["n_neardup_dropped"])
+    assert summary["n_neardup_dropped"] > 0  # datagen plants near-dups
+
+    # dedup really resolved: no surviving LSH pair has BOTH members
+    pairs = dedup.minhash_lsh_pairs(docs.select("doc_id", "text"))
+    kept = corpus.select("doc_id")
+    both = (pairs.join(kept.withColumnRenamed("doc_id", "id_a"), "id_a")
+            .join(kept.withColumnRenamed("doc_id", "id_b"), "id_b"))
+    assert both.count() == 0
+
+    # splits are complete and leakage-safe (cluster members co-assigned)
+    assert corpus.filter(~F.col("split").isin("train", "val", "test")).count() == 0
+    clusters = dedup.neardup_clusters(pairs)
+    straddle = (
+        corpus.join(clusters.select(F.col("id").alias("doc_id"), "cluster_id"),
+                    "doc_id")
+        .groupBy("cluster_id").agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+    )
+    assert straddle.count() == 0
+
+    # budget table sums match the corpus exactly
+    budget = spark.read.parquet(os.path.join(out, "budget"))
+    assert budget.agg(F.sum("n_docs")).collect()[0][0] == n_corpus
+    assert (budget.agg(F.sum("total_tokens")).collect()[0][0]
+            == corpus.agg(F.sum("n_tokens")).collect()[0][0])
+
+    # sequences: capacity respected; token conservation — packed tokens
+    # equal the train split's tokens exactly (overflow docs come back
+    # as chunks, nothing silently truncated)
+    seqs = spark.read.parquet(os.path.join(out, "sequences"))
+    assert seqs.filter(F.col("total_tokens") > cap).count() == 0
+    train_tokens = corpus.filter(F.col("split") == "train") \
+        .agg(F.sum("n_tokens")).collect()[0][0]
+    assert summary["packed_tokens"] == train_tokens
+    assert summary["n_overflow_docs_chunked"] > 0  # cap=48 forces chunking
+    assert seqs.filter(F.col("from_overflow_chunks")).count() > 0
+    # every packed unit id is unique (docs once; chunks once)
+    units = seqs.select(F.explode("doc_ids").alias("u"))
+    assert units.count() == units.distinct().count()
+
+
+def test_prepare_corpus_mixture_quotas(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "prep")
+    mix = {"en": 0.5, "de": 0.25, "zh": 0.25}
+    summary = prepare_corpus.run(
+        spark, docs, out, max_tokens=128,
+        splits={"train": 1.0},  # everything train: quotas easy to pin
+        mixture=mix, mixture_total_tokens=8000,
+    )
+    got = summary["mixture_tokens"]
+    assert set(got) <= set(mix)  # unweighted langs excluded entirely
+    # each selected lang lands in [quota, quota + one doc) or is the
+    # whole lang (shortfall)
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    avail = {r["lang"]: r["t"] for r in
+             corpus.groupBy("lang").agg(F.sum("n_tokens").alias("t")).collect()}
+    max_doc = corpus.agg(F.max("n_tokens")).collect()[0][0]
+    for lang, quota_w in mix.items():
+        quota = int(8000 * quota_w / sum(mix.values()))
+        if avail.get(lang, 0) <= quota:
+            assert got.get(lang, 0) == avail.get(lang, 0)  # shortfall: all
+        else:
+            assert quota <= got[lang] < quota + max_doc
