@@ -137,9 +137,15 @@ def test_neardup_clusters_transitive_chain(spark):
     pairs = spark.createDataFrame(
         [(7, 3), (3, 9), (20, 21)], "id_a long, id_b long"
     )
+    # default path (small graph -> driver union-find) and the forced
+    # distributed fixpoint must agree exactly
     got = {r["id"]: r["cluster_id"]
            for r in dedup.neardup_clusters(pairs).collect()}
     assert got == {3: 3, 7: 3, 9: 3, 20: 20, 21: 20}
+    dist = {r["id"]: r["cluster_id"]
+            for r in dedup.neardup_clusters(
+                pairs, driver_edge_threshold=0).collect()}
+    assert dist == got
 
 
 def test_neardup_dedup_one_survivor_per_component(spark):
@@ -194,11 +200,13 @@ def test_neardup_clusters_long_path_converges(spark):
 
     chain = [(i, i + 1) for i in range(12)]
     pairs = spark.createDataFrame(chain, "id_a long, id_b long")
-    got = dedup.neardup_clusters(pairs).collect()
+    # force the DISTRIBUTED path: the convergence budget is its
+    # property (the driver union-find has no rounds to exhaust)
+    got = dedup.neardup_clusters(pairs, driver_edge_threshold=0).collect()
     assert {r["cluster_id"] for r in got} == {0}
     assert len(got) == 13
     with pytest.raises(RuntimeError, match="not converged"):
-        dedup.neardup_clusters(pairs, max_iter=3)
+        dedup.neardup_clusters(pairs, max_iter=3, driver_edge_threshold=0)
 
 
 def test_neardup_clusters_string_ids(spark):
@@ -209,9 +217,13 @@ def test_neardup_clusters_string_ids(spark):
     mislabelled. Lexicographic min is the survivor convention."""
     chain = [(f"d{i:02d}", f"d{i + 1:02d}") for i in range(12)]
     pairs = spark.createDataFrame(chain, "id_a string, id_b string")
-    got = dedup.neardup_clusters(pairs).collect()
+    # distributed path: pins the hashed witness for string labels
+    got = dedup.neardup_clusters(pairs, driver_edge_threshold=0).collect()
     assert {r["cluster_id"] for r in got} == {"d00"}
     assert len(got) == 13
+    # driver path handles string ids identically
+    drv = dedup.neardup_clusters(pairs).collect()
+    assert sorted(map(tuple, drv)) == sorted(map(tuple, got))
 
 
 def test_neardup_clusters_fractional_ids(spark):
@@ -225,9 +237,12 @@ def test_neardup_clusters_fractional_ids(spark):
     premature convergence unless the hash witness is used."""
     chain = [(2.5, 2.6), (2.6, 2.7), (2.7, 2.8)]
     pairs = spark.createDataFrame(chain, "id_a double, id_b double")
-    got = dedup.neardup_clusters(pairs).collect()
+    # distributed path: pins the hashed witness for fractional labels
+    got = dedup.neardup_clusters(pairs, driver_edge_threshold=0).collect()
     assert {r["cluster_id"] for r in got} == {2.5}
     assert len(got) == 4
+    drv = dedup.neardup_clusters(pairs).collect()
+    assert sorted(map(tuple, drv)) == sorted(map(tuple, got))
 
 
 def test_earliest_per_window_null_payload_tie(spark):
@@ -361,6 +376,12 @@ def test_neardup_clusters_random_graph_matches_bfs(spark):
         for u in comp:
             truth[u] = m
 
+    # BOTH paths must equal the BFS truth: the driver union-find
+    # (default at this size) and the forced distributed fixpoint
     got = {r["id"]: r["cluster_id"]
            for r in dedup.neardup_clusters(pairs).collect()}
     assert got == truth
+    dist = {r["id"]: r["cluster_id"]
+            for r in dedup.neardup_clusters(
+                pairs, driver_edge_threshold=0).collect()}
+    assert dist == truth
