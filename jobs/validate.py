@@ -256,10 +256,17 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         # the dynamic overwrite replaces exactly the (R-PARA-DUP, *)
         # partitions with a complete fresh set — never a stale mix
         all_v = all_v.unionByName(para_viol.select(*all_v.columns))
-        n_para_viol = para_viol.count()
     tables.write_violations(all_v, os.path.join(output, "violations"),
                             partition_by=("rule_id", "part_key"),
                             dynamic=resuming)
+    if para_viol is not None:
+        # summary count from the just-written sink — re-counting the
+        # lazy para_viol frame would re-run the whole paragraph
+        # explode/join subtree a second time
+        n_para_viol = (
+            spark.read.parquet(os.path.join(output, "violations"))
+            .filter(F.col("rule_id") == "R-PARA-DUP").count()
+        )
 
     # one scan for per-partition verdicts; global verdicts are a rollup
     # of the tiny per-partition table, not a second pass over the docs.
