@@ -534,10 +534,12 @@ def test_sessionize_stream_checkpoint_recovery(spark, tmp_path):
             for r in solo.collect()} == expect
 
 
-def test_dedup_earliest_stream_checkpoint_recovery(spark, tmp_path):
-    """Watermarked-aggregation state recovery: the window opened before
-    the stop must still dedup (and eventually emit) rows arriving after
-    the restart — survivors identical to an uninterrupted run."""
+def test_dedup_earliest_stream_recovery_late_then_early(spark, tmp_path):
+    """Watermarked-aggregation state recovery, LATE-copies-first
+    direction (the sibling test below covers early-first): the window
+    opened before the stop must still dedup (and eventually emit) rows
+    arriving after the restart — survivors identical to an
+    uninterrupted run."""
     in_dir = str(tmp_path / "in")
     out_dir = str(tmp_path / "out")
     ckpt = str(tmp_path / "ckpt")
