@@ -3405,6 +3405,93 @@ LEFT JOIN (
 """
 
 
+# ------------------------------------------ substring-window exact dedup
+
+# Shared tokenization twin: Spark split(lower(trim(text)), '\s+') ==
+# DuckDB split-on-space of the whitespace-collapsed lowercased trim.
+# Windows compare by STRING in the oracle (the engine's xxhash64 key
+# has no portable SQL twin; the string compare doubles as a
+# hash-collision witness, as in paragraph_dedup).
+_WIN_CTE = r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' ') AS t
+  FROM documents WHERE length(trim(text)) > 0
+), wins AS (
+  SELECT doc_id, i - 1 AS win_index, array_to_string(t[i:i+7], ' ') AS w
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 7)) AS i) g
+  WHERE len(t) >= 8
+), shared AS (
+  SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) > 1
+), flagged AS (
+  SELECT doc_id, win_index FROM wins WHERE w IN (SELECT w FROM shared)
+)
+"""
+
+
+def q_duplicate_window_stats(spark, sf_dir):
+    """Exact substring-level duplication profile
+    (dedup.duplicate_window_stats, k=8): per-doc k-token-window counts,
+    cross-doc duplicated-window count/ratio, and the longest contiguous
+    duplicated token run — Lee et al. ExactSubstr grain between
+    paragraph_dedup and whole-doc near-dup."""
+    return dedup.duplicate_window_stats(
+        _t(spark, sf_dir, "documents"), k=8)
+
+
+SQL_DUPLICATE_WINDOW_STATS = _WIN_CTE + """
+, runs AS (
+  SELECT doc_id, win_index,
+         win_index - row_number() OVER (PARTITION BY doc_id ORDER BY win_index) AS grp
+  FROM flagged
+), runlen AS (
+  SELECT doc_id, max(cnt) AS max_run FROM (
+    SELECT doc_id, grp, count(*) AS cnt FROM runs GROUP BY doc_id, grp
+  ) GROUP BY doc_id
+), base AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows FROM wins GROUP BY doc_id
+), dupc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup FROM flagged GROUP BY doc_id
+)
+SELECT b.doc_id, b.n_windows,
+       CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+       ROUND(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / b.n_windows, 6)
+         AS dup_window_ratio,
+       CAST(CASE WHEN r.max_run IS NULL THEN 0 ELSE r.max_run + 7 END AS BIGINT)
+         AS max_dup_token_run
+FROM base b LEFT JOIN dupc d USING (doc_id) LEFT JOIN runlen r USING (doc_id)
+"""
+
+
+def q_duplicate_token_spans(spark, sf_dir):
+    """Merged duplicated token intervals (dedup.duplicate_token_spans,
+    k=8): per doc, maximal [start_token, end_token) stretches covered
+    by cross-doc duplicated windows — the ranges an ExactSubstr cleaner
+    cuts. Windows merge when overlapping or exactly adjacent."""
+    return dedup.duplicate_token_spans(
+        _t(spark, sf_dir, "documents"), k=8)
+
+
+SQL_DUPLICATE_TOKEN_SPANS = _WIN_CTE + """
+, isl AS (
+  SELECT doc_id, win_index,
+         CASE WHEN lag(win_index) OVER (PARTITION BY doc_id ORDER BY win_index) IS NULL
+                   OR win_index - lag(win_index) OVER (PARTITION BY doc_id ORDER BY win_index) > 8
+              THEN 1 ELSE 0 END AS new_island
+  FROM flagged
+), isl2 AS (
+  SELECT doc_id, win_index,
+         sum(new_island) OVER (PARTITION BY doc_id ORDER BY win_index) AS island
+  FROM isl
+)
+SELECT doc_id,
+       CAST(min(win_index) AS BIGINT) AS start_token,
+       CAST(max(win_index) + 8 AS BIGINT) AS end_token,
+       CAST(count(*) AS BIGINT) AS n_windows
+FROM isl2 GROUP BY doc_id, island
+"""
+
+
 # Registry order IS the driver-verification order: the driver checks
 # the FIRST 50 entries (DRIVER_WINDOW) each round. QUERIES_HEAD holds
 # EXACTLY the window (len-asserted by
@@ -3420,8 +3507,10 @@ LEFT JOIN (
 # riding r05 rows (the full TPC-H block q2/q7-q12/q14-q20, the ANN
 # trio, the drift PSI/KS family, stratified_sample, text_profile,
 # embedding_stats, the large-dim referential variant, ...), and (c) 10
-# stable r06-green fillers spanning the rule/eval/window families. The
-# 37 parked rows are all r06-driver-green and unchanged this round.
+# stable r06-green fillers spanning the rule/eval/window families,
+# minus two parked mid-round for (d) the substring-window dedup pair
+# new in round 7 (duplicate_window_stats / duplicate_token_spans). The
+# parked rows are all r06-driver-green and unchanged this round.
 DRIVER_WINDOW = 50
 
 QUERIES_HEAD = {
@@ -3479,14 +3568,20 @@ QUERIES_HEAD = {
     "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
-    "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
-    "dedup_earliest_window": (
-        q_dedup_earliest_window, SQL_DEDUP_EARLIEST_WINDOW),
+    # -- (d) new in the second half of round 7: substring-window dedup
+    # (two (c) fillers parked to make room; both ride green r06 rows)
+    "duplicate_window_stats": (
+        q_duplicate_window_stats, SQL_DUPLICATE_WINDOW_STATS),
+    "duplicate_token_spans": (
+        q_duplicate_token_spans, SQL_DUPLICATE_TOKEN_SPANS),
 }
 
 # Past the driver window: all r06-driver-green, unchanged this round,
 # strict-parity-verified every session.
 QUERIES_PARKED = {
+    "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
+    "dedup_earliest_window": (
+        q_dedup_earliest_window, SQL_DEDUP_EARLIEST_WINDOW),
     "tpch_q1": (q_tpch_q1, SQL_TPCH_Q1),
     "clean_corpus": (q_clean_corpus, SQL_CLEAN_CORPUS),
     "word_topk": (q_word_topk, SQL_WORD_TOPK),

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, IntegralType, LongType
+from pyspark.sql.window import Window
 
 # ------------------------------------------------------------------ exact
 
@@ -862,4 +863,150 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
+    )
+
+
+# ------------------------------------------- substring-window exact dedup
+
+def _token_windows(docs: DataFrame, k: int, id_col: str, text_col: str,
+                   keep_text: bool = False) -> DataFrame:
+    """(id, win_index, win_hash[, win]): every k-token window of the
+    lowercased whitespace-tokenized text, positionally indexed.
+    Documents with fewer than k tokens (or blank text) emit nothing —
+    a window that cannot exist cannot be duplicated.
+
+    The window array is built with the let-bound HOF idiom (see
+    ``shingles``): binding the token array once keeps construction
+    O(w) instead of Catalyst re-inlining the lower/trim/split chain
+    per window (O(w^2) on long docs). Windows hash to 64-bit xxhash64
+    immediately — at corpus scale the 8-byte key travels, never the
+    window string (``keep_text`` re-attaches it for tests/oracles)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    def body(t):
+        nwin = F.size(t) - (k - 1)
+        win = lambda i: F.array_join(F.slice(t, i, k), " ")
+        return F.when(nwin <= 0, F.array().cast("array<string>")).otherwise(
+            F.transform(F.sequence(F.lit(1), nwin), win)
+        )
+
+    wins = F.element_at(F.transform(F.array(toks), body), 1)
+    out = (
+        docs.filter(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), F.posexplode(wins).alias("win_index", "_win"))
+        .select(
+            id_col,
+            "win_index",
+            F.xxhash64("_win").alias("win_hash"),
+            *(["_win"] if keep_text else []),
+        )
+    )
+    return out.withColumnRenamed("_win", "win") if keep_text else out
+
+
+def _flagged_windows(docs: DataFrame, k: int, id_col: str, text_col: str):
+    """(occurrences, flagged-occurrences) of k-token windows shared by
+    more than one distinct document. Shared shape with
+    paragraph_duplicates one level down: distinct on (id, hash) → ONE
+    shuffle on a uniform composite key; per-hash distinct-doc count is
+    map-side combinable; the duplicated-hash dimension is tiny vs the
+    corpus and AQE broadcasts it back onto occurrences."""
+    occ = _token_windows(docs, k, id_col, text_col)
+    shared = (
+        occ.select(id_col, "win_hash").distinct()
+        .groupBy("win_hash")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .filter(F.col("_nd") > 1)
+        .select("win_hash")
+    )
+    return occ, occ.join(shared, "win_hash", "left_semi")
+
+
+def duplicate_window_stats(docs: DataFrame, k: int = 8,
+                           id_col: str = "doc_id",
+                           text_col: str = "text") -> DataFrame:
+    """Exact substring-level duplication profile — Lee et al.
+    ("Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499) ExactSubstr at k-token-window grain: the dedup
+    modality BETWEEN whole-doc/near-dup (doc grain) and
+    paragraph_duplicates (paragraph grain). Per document:
+
+      n_windows          total k-token windows
+      n_dup_windows      windows whose exact text occurs in >1 doc
+      dup_window_ratio   n_dup / n_windows, rounded to 6 places
+      max_dup_token_run  longest contiguous duplicated stretch in
+                         TOKENS (run of r consecutive flagged windows
+                         covers r + k - 1 tokens); 0 if none — the
+                         Lee et al. "50-token duplicate substring"
+                         threshold reads directly off this column.
+
+    Scale shape (100 TB): one uniform-key shuffle for sharing counts
+    (see _flagged_windows); the run detection is a gaps-and-islands
+    row_number over (doc, win_index) — partitioned BY DOCUMENT, i.e.
+    billions of small groups, never a single-task global window."""
+    occ, flagged = _flagged_windows(docs, k, id_col, text_col)
+    base = occ.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_windows"))
+    dupc = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n_dup"))
+    w = Window.partitionBy(id_col).orderBy("win_index")
+    runs = (
+        flagged.withColumn("_grp", F.col("win_index") - F.row_number().over(w))
+        .groupBy(id_col, "_grp")
+        .agg(F.count(F.lit(1)).alias("_run"))
+        .groupBy(id_col)
+        .agg(F.max("_run").alias("_max_run"))
+    )
+    return (
+        base.join(dupc, id_col, "left")
+        .join(runs, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("_n_dup", F.lit(0)).alias("n_dup_windows"),
+            F.round(
+                F.coalesce("_n_dup", F.lit(0)) / F.col("n_windows"), 6
+            ).alias("dup_window_ratio"),
+            F.coalesce(F.col("_max_run") + F.lit(k - 1), F.lit(0))
+            .cast("long")
+            .alias("max_dup_token_run"),
+        )
+    )
+
+
+def duplicate_token_spans(docs: DataFrame, k: int = 8,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> DataFrame:
+    """Actionable output of substring dedup: per document, the MERGED
+    token intervals covered by cross-doc duplicated k-token windows —
+    (id, start_token, end_token, n_windows) with end exclusive, i.e.
+    tokens[start:end] is the duplicated stretch a cleaner would cut
+    (Lee et al. remove these ranges when end-start >= 50).
+
+    Two flagged windows [i, i+k) and [j, j+k), i<j, merge iff j <= i+k
+    (overlapping or exactly adjacent). All intervals share length k,
+    so the running-max-end island test collapses to a lag gap test:
+    a new island starts when win_index - lag(win_index) > k. One
+    per-document window pass — billions of small groups at scale."""
+    _, flagged = _flagged_windows(docs, k, id_col, text_col)
+    w = Window.partitionBy(id_col).orderBy("win_index")
+    return (
+        flagged.withColumn("_prev", F.lag("win_index").over(w))
+        .withColumn(
+            "_new_island",
+            F.when(
+                F.col("_prev").isNull()
+                | (F.col("win_index") - F.col("_prev") > k),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("_island", F.sum("_new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(id_col, "_island")
+        .agg(
+            F.min("win_index").alias("start_token"),
+            (F.max("win_index") + F.lit(k)).cast("long").alias("end_token"),
+            F.count(F.lit(1)).alias("n_windows"),
+        )
+        .select(id_col, F.col("start_token").cast("long"), "end_token",
+                "n_windows")
     )

@@ -1,0 +1,100 @@
+"""Substring-window exact dedup (operators/dedup.duplicate_window_stats
+/ duplicate_token_spans): Lee et al. (arXiv:2107.06499) ExactSubstr at
+k-token-window grain — the modality between whole-doc near-dup and
+paragraph boilerplate. Driver-facing oracle parity lives in
+driver_queries (duplicate_window_stats / duplicate_token_spans);
+these pin the semantics on planted stretches the synthetic corpus
+can't guarantee: exact flagged positions, run/island merging
+(overlap, exact adjacency, gap split), intra-doc-only repeats not
+flagged, sub-k docs excluded, whitespace canonicalization."""
+
+from intent_classifier_service_spark.operators import dedup
+
+K = 4
+
+
+def _docs(spark):
+    rows = [
+        # docs 1/2 share the 6-token stretch "one two three four five six"
+        (1, "a1 a2 one two three four five six b1 b2"),
+        (2, "c1 one two three four five six c2 c3 c4"),
+        # too short for any k=4 window
+        (3, "short text here"),
+        # window repeated within ONE doc only — not cross-doc, not flagged
+        (4, "x1 x2 x3 x4 y x1 x2 x3 x4"),
+        # docs 5/6 share TWO stretches separated by a gap > k -> 2 islands
+        (5, "one two three four g1 g2 g3 g4 g5 five six seven eight"),
+        (6, "one two three four h1 h2 h3 h4 h5 five six seven eight"),
+        # docs 7/8 share two 4-grams; in doc 7 the flagged windows sit at
+        # win_index 0 and 4 (gap == k -> exactly-adjacent intervals merge)
+        (7, "p1 p2 p3 p4 q1 q2 q3 q4 z7 z8"),
+        (8, "w1 p1 p2 p3 p4 v1 v2 v3 v4 q1 q2 q3 q4"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_window_stats_planted(spark):
+    out = {r["doc_id"]: r for r in
+           dedup.duplicate_window_stats(_docs(spark), k=K).collect()}
+    # doc 3 has < k tokens: no windows, no row
+    assert 3 not in out
+    # doc 1: 10 tokens -> 7 windows; flagged at 2,3,4 (the three windows
+    # fully inside the shared stretch); run of 3 windows = 3+k-1 tokens
+    assert out[1]["n_windows"] == 7
+    assert out[1]["n_dup_windows"] == 3
+    assert abs(out[1]["dup_window_ratio"] - round(3 / 7, 6)) < 1e-12
+    assert out[1]["max_dup_token_run"] == 6
+    # doc 2: same stretch at win_index 1..3
+    assert (out[2]["n_dup_windows"], out[2]["max_dup_token_run"]) == (3, 6)
+    # doc 4: intra-doc repeat only -> present but clean
+    assert out[4]["n_windows"] == 6
+    assert out[4]["n_dup_windows"] == 0
+    assert out[4]["dup_window_ratio"] == 0.0
+    assert out[4]["max_dup_token_run"] == 0
+    # doc 5: flagged at 0 and 9 -> two singleton runs, each k tokens long
+    assert out[5]["n_dup_windows"] == 2
+    assert out[5]["max_dup_token_run"] == K
+
+
+def test_token_spans_merge_and_split(spark):
+    spans = {}
+    for r in dedup.duplicate_token_spans(_docs(spark), k=K).collect():
+        spans.setdefault(r["doc_id"], []).append(
+            (r["start_token"], r["end_token"], r["n_windows"]))
+    for v in spans.values():
+        v.sort()
+    # overlapping windows merge into the maximal stretch
+    assert spans[1] == [(2, 8, 3)]
+    assert spans[2] == [(1, 7, 3)]
+    # gap > k splits islands
+    assert spans[5] == [(0, 4, 1), (9, 13, 1)]
+    assert spans[6] == [(0, 4, 1), (9, 13, 1)]
+    # gap == k: [0,4) and [4,8) touch -> merged
+    assert spans[7] == [(0, 8, 2)]
+    assert spans[8] == [(1, 5, 1), (9, 13, 1)]
+    # clean / sub-k docs emit nothing
+    assert 3 not in spans and 4 not in spans
+
+
+def test_whitespace_and_case_canonicalized(spark):
+    docs = spark.createDataFrame(
+        [(1, "One  Two\tthree \n four tail1 tail2"),
+         (2, "pre one two three four")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           dedup.duplicate_window_stats(docs, k=K).collect()}
+    # mixed case + runs of whitespace tokenize identically on both docs
+    assert out[1]["n_dup_windows"] == 1 and out[2]["n_dup_windows"] == 1
+
+
+def test_window_dedup_plan_discipline(spark):
+    """Equi-joins only (hash-key semi join of the duplicated-window
+    dimension), zero Python eval in the plan, and the only Window is
+    per-document (gaps-and-islands) — never a corpus-wide partition."""
+    df = dedup.duplicate_window_stats(_docs(spark), k=K)
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    p2 = dedup.duplicate_token_spans(
+        _docs(spark), k=K)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p2 and "BroadcastNestedLoop" not in p2
