@@ -3492,6 +3492,55 @@ FROM isl2 GROUP BY doc_id, island
 """
 
 
+def q_strip_dup_windows(spark, sf_dir):
+    """ExactSubstr removal (dedup.strip_duplicate_windows, k=8,
+    min_run_tokens=50 — the Lee et al. published threshold): cut every
+    duplicated stretch of >= 50 tokens except its globally-first
+    occurrence (min (doc_id, win_index) keeper per window), rebuild
+    docs from surviving ORIGINAL-case tokens. Every input doc returns;
+    11 docs are actually cut at sf0.01 (non-vacuous)."""
+    return dedup.strip_duplicate_windows(
+        _t(spark, sf_dir, "documents"), k=8, min_run_tokens=50)
+
+
+SQL_STRIP_DUP_WINDOWS = _WIN_CTE + r"""
+, nonkeep AS (
+  SELECT doc_id, win_index FROM (
+    SELECT doc_id, win_index,
+           row_number() OVER (PARTITION BY w ORDER BY doc_id, win_index) AS rn
+    FROM wins WHERE w IN (SELECT w FROM shared)
+  ) WHERE rn > 1
+), isl AS (
+  SELECT doc_id, win_index,
+         CASE WHEN lag(win_index) OVER (PARTITION BY doc_id ORDER BY win_index) IS NULL
+                   OR win_index - lag(win_index) OVER (PARTITION BY doc_id ORDER BY win_index) > 8
+              THEN 1 ELSE 0 END AS ni FROM nonkeep
+), isl2 AS (
+  SELECT doc_id, win_index,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY win_index) AS island
+  FROM isl
+), cut AS (
+  SELECT doc_id, min(win_index) AS s, max(win_index) + 8 AS e
+  FROM isl2 GROUP BY doc_id, island
+  HAVING max(win_index) + 8 - min(win_index) >= 50
+), otoks AS (
+  SELECT doc_id, string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ot
+  FROM documents WHERE length(trim(text)) > 0
+), toksidx AS (
+  SELECT doc_id, i - 1 AS idx, ot[i] AS tok
+  FROM otoks, LATERAL (SELECT unnest(generate_series(1, len(ot))) AS i) g
+), kept AS (
+  SELECT t.doc_id, t.idx, t.tok FROM toksidx t
+  WHERE NOT EXISTS (SELECT 1 FROM cut c
+                    WHERE c.doc_id = t.doc_id AND t.idx >= c.s AND t.idx < c.e)
+)
+SELECT d.doc_id, coalesce(r.text, '') AS text
+FROM documents d LEFT JOIN (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS text FROM kept GROUP BY doc_id
+) r USING (doc_id)
+"""
+
+
 # Registry order IS the driver-verification order: the driver checks
 # the FIRST 50 entries (DRIVER_WINDOW) each round. QUERIES_HEAD holds
 # EXACTLY the window (len-asserted by
@@ -3567,18 +3616,19 @@ QUERIES_HEAD = {
     "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
     "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
-    "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     # -- (d) new in the second half of round 7: substring-window dedup
     # (two (c) fillers parked to make room; both ride green r06 rows)
     "duplicate_window_stats": (
         q_duplicate_window_stats, SQL_DUPLICATE_WINDOW_STATS),
     "duplicate_token_spans": (
         q_duplicate_token_spans, SQL_DUPLICATE_TOKEN_SPANS),
+    "strip_dup_windows": (q_strip_dup_windows, SQL_STRIP_DUP_WINDOWS),
 }
 
 # Past the driver window: all r06-driver-green, unchanged this round,
 # strict-parity-verified every session.
 QUERIES_PARKED = {
+    "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
     "dedup_earliest_window": (
         q_dedup_earliest_window, SQL_DEDUP_EARLIEST_WINDOW),

@@ -988,9 +988,17 @@ def duplicate_token_spans(docs: DataFrame, k: int = 8,
     a new island starts when win_index - lag(win_index) > k. One
     per-document window pass — billions of small groups at scale."""
     _, flagged = _flagged_windows(docs, k, id_col, text_col)
+    return _merge_islands(flagged, k, id_col)
+
+
+def _merge_islands(flagged: DataFrame, k: int, id_col: str) -> DataFrame:
+    """Merge a set of (id, win_index) window occurrences into maximal
+    token intervals (id, start_token, end_token, n_windows), end
+    exclusive. Gaps-and-islands over a per-DOCUMENT window."""
     w = Window.partitionBy(id_col).orderBy("win_index")
     return (
-        flagged.withColumn("_prev", F.lag("win_index").over(w))
+        flagged.select(id_col, "win_index")
+        .withColumn("_prev", F.lag("win_index").over(w))
         .withColumn(
             "_new_island",
             F.when(
@@ -1009,4 +1017,73 @@ def duplicate_token_spans(docs: DataFrame, k: int = 8,
         )
         .select(id_col, F.col("start_token").cast("long"), "end_token",
                 "n_windows")
+    )
+
+
+def strip_duplicate_windows(docs: DataFrame, k: int = 8,
+                            min_run_tokens: int = 50,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """The dedup DECISION at substring grain — Lee et al. ExactSubstr
+    removal: cut every duplicated token stretch of at least
+    ``min_run_tokens`` tokens (their published threshold is 50) EXCEPT
+    its globally-first occurrence, and rebuild each document from its
+    surviving tokens. Returns (id, text) for EVERY input document.
+
+    Keeper semantics: per duplicated window, the keeper is the global
+    min (id, win_index) occurrence — the same first-occurrence
+    convention as strip_duplicate_paragraphs. Cut intervals are the
+    merged islands of NON-keeper duplicated windows (so the doc
+    holding the first occurrence keeps its stretch), filtered to
+    >= min_run_tokens tokens; sub-threshold duplication is left alone
+    (short shared phrases are language, not boilerplate).
+
+    Matching is case/whitespace-insensitive (windows come from the
+    lowercased tokenization) but the rebuild preserves the ORIGINAL
+    token casing — positions align because both views split the same
+    text on whitespace. Inter-token whitespace is canonicalized to a
+    single space even in untouched documents (run-idempotent on a
+    fixed corpus the same way paragraph strip is).
+
+    Scale shape: keeper selection is a map-side-combinable
+    min(struct) groupBy on the uniform window hash; cut intervals per
+    doc are FEW (bounded by text length / min_run_tokens), so the
+    rebuild re-attaches them as a per-doc array via one equi-join and
+    filters tokens with a positional HOF lambda — no explode of the
+    token stream, no range join."""
+    occ, flagged = _flagged_windows(docs, k, id_col, text_col)
+    keep = flagged.groupBy("win_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("win_index"))).alias("_first")
+    )
+    nonkeeper = (
+        flagged.join(keep, "win_hash")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("win_index") == F.col("_first.win_index"))
+            )
+        )
+        .select(id_col, "win_index")
+    )
+    cuts = (
+        _merge_islands(nonkeeper, k, id_col)
+        .filter(F.col("end_token") - F.col("start_token") >= min_run_tokens)
+        .groupBy(id_col)
+        .agg(
+            F.collect_list(F.struct("start_token", "end_token")).alias("_cuts")
+        )
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")  # original casing
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            F.col("_cuts"),
+            lambda c: (i >= c["start_token"]) & (i < c["end_token"]),
+        ),
+    )
+    rebuilt = F.when(F.col("_cuts").isNull(), F.array_join(toks, " ")).otherwise(
+        F.array_join(kept, " ")
+    )
+    return docs.join(cuts, id_col, "left").select(
+        F.col(id_col), F.coalesce(rebuilt, F.lit("")).alias(text_col)
     )

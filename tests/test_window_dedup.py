@@ -87,6 +87,62 @@ def test_whitespace_and_case_canonicalized(spark):
     assert out[1]["n_dup_windows"] == 1 and out[2]["n_dup_windows"] == 1
 
 
+def test_strip_duplicate_windows_keeper_and_threshold(spark):
+    # min_run_tokens=4: every >=4-token non-keeper island is cut
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.strip_duplicate_windows(
+               _docs(spark), k=K, min_run_tokens=4).collect()}
+    assert set(out) == {1, 2, 3, 4, 5, 6, 7, 8}
+    # doc 1 holds the globally-first occurrence of the shared stretch —
+    # untouched (whitespace-canonicalized)
+    assert out[1] == "a1 a2 one two three four five six b1 b2"
+    # doc 2 loses the 6-token stretch
+    assert out[2] == "c1 c2 c3 c4"
+    # doc 5 keeps "five six seven eight" (it holds the first occurrence)
+    # but loses "one two three four" (doc 1 got there first)
+    assert out[5] == "g1 g2 g3 g4 g5 five six seven eight"
+    assert out[6] == "h1 h2 h3 h4 h5"
+    # doc 7 holds the first occurrence of both its shared 4-grams
+    assert out[7] == "p1 p2 p3 p4 q1 q2 q3 q4 z7 z8"
+    assert out[8] == "w1 v1 v2 v3 v4"
+    # sub-k and intra-doc-only docs pass through canonicalized
+    assert out[3] == "short text here"
+    assert out[4] == "x1 x2 x3 x4 y x1 x2 x3 x4"
+
+
+def test_strip_duplicate_windows_min_run_spares_short(spark):
+    # min_run_tokens=6: only the 6-token stretch qualifies; the 4-token
+    # islands in docs 5/6/7/8 are left alone
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.strip_duplicate_windows(
+               _docs(spark), k=K, min_run_tokens=6).collect()}
+    assert out[2] == "c1 c2 c3 c4"
+    assert out[5] == "one two three four g1 g2 g3 g4 g5 five six seven eight"
+    assert out[6] == "one two three four h1 h2 h3 h4 h5 five six seven eight"
+    assert out[8] == "w1 p1 p2 p3 p4 v1 v2 v3 v4 q1 q2 q3 q4"
+
+
+def test_strip_preserves_original_casing(spark):
+    docs = spark.createDataFrame(
+        [(1, "Keep  My CASE one two three four five six seven"),
+         (2, "pre1 pre2 ONE Two three FOUR five SIX seven post")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.strip_duplicate_windows(docs, k=K, min_run_tokens=4)
+           .collect()}
+    # matching is case-insensitive; rebuild keeps each doc's own casing
+    assert out[1] == "Keep My CASE one two three four five six seven"
+    assert out[2] == "pre1 pre2 post"
+
+
+def test_strip_idempotent_on_fixture(spark):
+    once = dedup.strip_duplicate_windows(_docs(spark), k=K, min_run_tokens=4)
+    twice = dedup.strip_duplicate_windows(once, k=K, min_run_tokens=4)
+    a = {r["doc_id"]: r["text"] for r in once.collect()}
+    b = {r["doc_id"]: r["text"] for r in twice.collect()}
+    assert a == b
+
+
 def test_window_dedup_plan_discipline(spark):
     """Equi-joins only (hash-key semi join of the duplicated-window
     dimension), zero Python eval in the plan, and the only Window is
@@ -98,3 +154,7 @@ def test_window_dedup_plan_discipline(spark):
     p2 = dedup.duplicate_token_spans(
         _docs(spark), k=K)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p2 and "BroadcastNestedLoop" not in p2
+    p3 = dedup.strip_duplicate_windows(
+        _docs(spark), k=K)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p3 and "BroadcastNestedLoop" not in p3
+    assert "BatchEvalPython" not in p3 and "ArrowEvalPython" not in p3
