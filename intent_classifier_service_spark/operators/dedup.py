@@ -1020,10 +1020,40 @@ def _merge_islands(flagged: DataFrame, k: int, id_col: str) -> DataFrame:
     )
 
 
-def strip_duplicate_windows(docs: DataFrame, k: int = 8,
+def duplicate_cut_intervals(docs: DataFrame, k: int = 8,
                             min_run_tokens: int = 50,
                             id_col: str = "doc_id",
                             text_col: str = "text") -> DataFrame:
+    """The cut list ExactSubstr removal acts on: merged token intervals
+    (id, start_token, end_token, n_windows) of NON-keeper duplicated
+    windows (the globally-first occurrence per window is exempt),
+    filtered to >= min_run_tokens tokens. Persist this as the removal
+    audit artifact; feed it back to strip_duplicate_windows via
+    ``cuts`` to avoid recomputing the window pass."""
+    _, flagged = _flagged_windows(docs, k, id_col, text_col)
+    keep = flagged.groupBy("win_hash").agg(
+        F.min(F.struct(F.col(id_col), F.col("win_index"))).alias("_first")
+    )
+    nonkeeper = (
+        flagged.join(keep, "win_hash")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"_first.{id_col}"))
+                & (F.col("win_index") == F.col("_first.win_index"))
+            )
+        )
+        .select(id_col, "win_index")
+    )
+    return _merge_islands(nonkeeper, k, id_col).filter(
+        F.col("end_token") - F.col("start_token") >= min_run_tokens
+    )
+
+
+def strip_duplicate_windows(docs: DataFrame, k: int = 8,
+                            min_run_tokens: int = 50,
+                            id_col: str = "doc_id",
+                            text_col: str = "text",
+                            cuts: DataFrame | None = None) -> DataFrame:
     """The dedup DECISION at substring grain — Lee et al. ExactSubstr
     removal: cut every duplicated token stretch of at least
     ``min_run_tokens`` tokens (their published threshold is 50) EXCEPT
@@ -1050,28 +1080,15 @@ def strip_duplicate_windows(docs: DataFrame, k: int = 8,
     doc are FEW (bounded by text length / min_run_tokens), so the
     rebuild re-attaches them as a per-doc array via one equi-join and
     filters tokens with a positional HOF lambda — no explode of the
-    token stream, no range join."""
-    occ, flagged = _flagged_windows(docs, k, id_col, text_col)
-    keep = flagged.groupBy("win_hash").agg(
-        F.min(F.struct(F.col(id_col), F.col("win_index"))).alias("_first")
-    )
-    nonkeeper = (
-        flagged.join(keep, "win_hash")
-        .filter(
-            ~(
-                (F.col(id_col) == F.col(f"_first.{id_col}"))
-                & (F.col("win_index") == F.col("_first.win_index"))
-            )
-        )
-        .select(id_col, "win_index")
-    )
-    cuts = (
-        _merge_islands(nonkeeper, k, id_col)
-        .filter(F.col("end_token") - F.col("start_token") >= min_run_tokens)
-        .groupBy(id_col)
-        .agg(
-            F.collect_list(F.struct("start_token", "end_token")).alias("_cuts")
-        )
+    token stream, no range join. Pass a precomputed/persisted
+    ``cuts`` frame (duplicate_cut_intervals output) to skip the
+    window pass — the job surface writes the cut audit once and
+    rebuilds from the written artifact."""
+    if cuts is None:
+        cuts = duplicate_cut_intervals(
+            docs, k, min_run_tokens, id_col, text_col)
+    cuts = cuts.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_token", "end_token")).alias("_cuts")
     )
     toks = F.split(F.trim(F.col(text_col)), r"\s+")  # original casing
     kept = F.filter(

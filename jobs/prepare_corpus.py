@@ -4,6 +4,10 @@ oracled operators (each stage is individually driver-verified; this
 job is the wiring):
 
   read documents(doc_id, text, ...)
+    → optional boilerplate strip (--strip-dup-paragraphs: paragraph
+                                 grain; --strip-dup-windows: ExactSubstr
+                                 token-run grain, cut audit persisted
+                                 to output/substring_cuts)
     → quality filter            (textstats.quality_score threshold)
     → exact dedup               (dedup.exact_dedup, min-id survivor)
     → near-dup dedup            (minhash LSH pairs → clusters → survivor)
@@ -70,7 +74,10 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
         mixture: dict[str, float] | None = None,
         mixture_total_tokens: int | None = None,
         train_split: str = "train",
-        para_min_chars: int | None = None) -> dict:
+        para_min_chars: int | None = None,
+        strip_windows: bool = False,
+        window_k: int = 8,
+        min_run_tokens: int = 50) -> dict:
     """The pipeline over a (doc_id, text, lang, ...) frame. Returns the
     summary dict (also what main() prints)."""
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -84,6 +91,24 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
         docs = dedup.strip_duplicate_paragraphs(
             docs.select("doc_id", "text", "lang"),
             min_chars=para_min_chars,
+        ).join(docs.drop("text"), "doc_id")
+
+    # -- optional ExactSubstr removal (runs on the post-paragraph text):
+    # the cut audit (doc_id, start_token, end_token, n_windows) is
+    # written ONCE to output/substring_cuts and the rebuild reads the
+    # artifact back — one window pass, counts come from the sink
+    if strip_windows:
+        cut_path = os.path.join(output, "substring_cuts")
+        dedup.duplicate_cut_intervals(
+            docs, k=window_k, min_run_tokens=min_run_tokens,
+        ).write.mode("overwrite").parquet(cut_path)
+        cuts = spark.read.parquet(cut_path)
+        summary["n_substring_cut_intervals"] = cuts.count()
+        summary["n_substring_cut_docs"] = (
+            cuts.select("doc_id").distinct().count())
+        docs = dedup.strip_duplicate_windows(
+            docs.select("doc_id", "text", "lang"),
+            k=window_k, min_run_tokens=min_run_tokens, cuts=cuts,
         ).join(docs.drop("text"), "doc_id")
 
     # -- quality gate ---------------------------------------------------
@@ -208,6 +233,12 @@ def main() -> int:
     ap.add_argument("--mixture-total-tokens", type=int, default=None)
     ap.add_argument("--strip-dup-paragraphs", action="store_true")
     ap.add_argument("--para-min-chars", type=int, default=30)
+    ap.add_argument("--strip-dup-windows", action="store_true",
+                    help="ExactSubstr removal: cut cross-doc duplicated "
+                         "runs >= --min-run-tokens, keep first occurrence; "
+                         "cut audit written to output/substring_cuts")
+    ap.add_argument("--window-k", type=int, default=8)
+    ap.add_argument("--min-run-tokens", type=int, default=50)
     args = ap.parse_args()
 
     spark = get_spark("prepare_corpus")
@@ -223,6 +254,9 @@ def main() -> int:
         mixture=_parse_weights(args.mixture) if args.mixture else None,
         mixture_total_tokens=args.mixture_total_tokens,
         para_min_chars=args.para_min_chars if args.strip_dup_paragraphs else None,
+        strip_windows=args.strip_dup_windows,
+        window_k=args.window_k,
+        min_run_tokens=args.min_run_tokens,
     )
     print(json.dumps(summary))
     return 0

@@ -93,3 +93,37 @@ def test_prepare_corpus_mixture_quotas(spark, tmp_path):
             assert got.get(lang, 0) == avail.get(lang, 0)  # shortfall: all
         else:
             assert quota <= got[lang] < quota + max_doc
+
+
+def test_prepare_corpus_strip_windows(spark, tmp_path):
+    """--strip-dup-windows: a planted shared stretch is cut from every
+    doc except the globally-first holder BEFORE tokens are counted; the
+    cut audit lands in output/substring_cuts and the summary counts
+    come from the written sink."""
+    stretch = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"{stretch} tail1 tail2 tail3", "en"),
+        (2, f"lead1 lead2 {stretch} tail4", "en"),
+        (3, f"lead3 {stretch}", "en"),
+        (4, "independent document body with its own words here", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = str(tmp_path / "prep")
+    summary = prepare_corpus.run(
+        spark, docs, out, max_tokens=64, splits={"train": 1.0},
+        strip_windows=True, window_k=4, min_run_tokens=8,
+    )
+    # docs 2 and 3 lose the 8-token stretch; doc 1 keeps it
+    assert summary["n_substring_cut_docs"] == 2
+    assert summary["n_substring_cut_intervals"] == 2
+    cuts = spark.read.parquet(os.path.join(out, "substring_cuts"))
+    got = {(r["doc_id"], r["start_token"], r["end_token"])
+           for r in cuts.collect()}
+    assert got == {(2, 2, 10), (3, 1, 9)}
+    # token counts in the corpus reflect the REWRITTEN text
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    toks = {r["doc_id"]: r["n_tokens"] for r in corpus.collect()}
+    assert toks[1] == 11  # untouched
+    assert toks[2] == 3   # lead1 lead2 tail4
+    assert toks[3] == 1   # lead3
+    assert toks[4] == 8
