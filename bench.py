@@ -66,6 +66,9 @@ def _headline_queries():
         # round-6 operators (baselines established in BENCH_r06)
         "paragraph_dedup": DQ.q_paragraph_dedup,
         "strip_dup_paragraphs": DQ.q_strip_dup_paragraphs,
+        # round-7 second half: substring-window (ExactSubstr) family
+        "duplicate_window_stats": DQ.q_duplicate_window_stats,
+        "strip_dup_windows": DQ.q_strip_dup_windows,
         # round-7: packing throughput at scale (1M metadata rows through
         # the Fenwick best-fit kernel, 64 buckets, 2048-token budget)
         "pack_1m_docs": _q_pack_1m,

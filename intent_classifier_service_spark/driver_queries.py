@@ -3541,6 +3541,38 @@ FROM documents d LEFT JOIN (
 """
 
 
+# ------------------------------------------------ BPE merge candidates
+
+def q_bpe_merge_candidates(spark, sf_dir):
+    """First BPE merge round (bpe.bpe_merge_candidates): top-50
+    adjacent character-pair counts over the corpus vocabulary (word
+    histogram = the one corpus pass; pair counting is vocab-sized),
+    deterministically ordered (count desc, left, right)."""
+    from .operators import bpe
+    return bpe.bpe_merge_candidates(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+SQL_BPE_MERGE_CANDIDATES = r"""
+WITH words AS (
+  SELECT w AS word, count(*) AS cnt FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents WHERE length(trim(text)) > 0
+  ) WHERE w <> '' AND length(w) <= 100
+  GROUP BY w
+), syms AS (
+  SELECT list_append(regexp_extract_all(word, '.'), '</w>') AS s, cnt
+  FROM words
+), pairs AS (
+  SELECT s[i] AS left_sym, s[i + 1] AS right_sym, cnt
+  FROM syms, LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) g
+)
+SELECT left_sym, right_sym, CAST(sum(cnt) AS BIGINT) AS pair_count
+FROM pairs GROUP BY left_sym, right_sym
+ORDER BY pair_count DESC, left_sym, right_sym
+LIMIT 50
+"""
+
+
 # Registry order IS the driver-verification order: the driver checks
 # the FIRST 50 entries (DRIVER_WINDOW) each round. QUERIES_HEAD holds
 # EXACTLY the window (len-asserted by
@@ -3615,7 +3647,6 @@ QUERIES_HEAD = {
     "arrow_span_violations": (q_arrow_span_violations, SQL_ARROW_SPAN),
     "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
     "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
-    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     # -- (d) new in the second half of round 7: substring-window dedup
     # (two (c) fillers parked to make room; both ride green r06 rows)
     "duplicate_window_stats": (
@@ -3623,11 +3654,14 @@ QUERIES_HEAD = {
     "duplicate_token_spans": (
         q_duplicate_token_spans, SQL_DUPLICATE_TOKEN_SPANS),
     "strip_dup_windows": (q_strip_dup_windows, SQL_STRIP_DUP_WINDOWS),
+    "bpe_merge_candidates": (
+        q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
 }
 
 # Past the driver window: all r06-driver-green, unchanged this round,
 # strict-parity-verified every session.
 QUERIES_PARKED = {
+    "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
     "dedup_earliest_window": (
