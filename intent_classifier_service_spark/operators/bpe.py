@@ -167,3 +167,80 @@ def train_bpe(docs: DataFrame, num_merges: int, text_col: str = "text",
         vocab.unpersist()
         vocab = new_vocab
     return merges, vocab
+
+
+def apply_merges(docs: DataFrame, merges: list[tuple[str, str]],
+                 id_col: str = "doc_id", text_col: str = "text",
+                 keep_tokens: bool = False) -> DataFrame:
+    """Encode a corpus with a trained merge list: (id, n_subword_tokens
+    [, subword_tokens]) — the apply side of train_bpe, i.e. the EXACT
+    subword count corpus_token_budget approximates with its regex
+    estimate. Standard rank-greedy BPE encode: repeatedly merge the
+    lowest-rank pair present in the word until none remains.
+
+    Scale shape: embarrassingly parallel — one mapInPandas pass, zero
+    shuffle, nothing leaves the partition. The per-batch word->encoding
+    cache exploits Zipf (a few thousand distinct words cover most
+    tokens), so the Python kernel runs per DISTINCT word per batch,
+    not per token. (Real deployments swap this seam for a native
+    tokenizer; the pipeline shape — broadcast merge table, stateless
+    projection — is the part that matters at 100 TB.)"""
+    ranks = {pair: i for i, pair in enumerate(merges)}
+    import pyspark.sql.types as T
+
+    out_fields = [
+        next(f for f in docs.schema.fields if f.name == id_col),
+        T.StructField("n_subword_tokens", T.LongType()),
+    ]
+    if keep_tokens:
+        out_fields.append(
+            T.StructField("subword_tokens", T.ArrayType(T.StringType())))
+    schema = T.StructType(out_fields)
+
+    def encode_word(word, cache):
+        got = cache.get(word)
+        if got is not None:
+            return got
+        syms = list(word) + [END_OF_WORD]
+        while len(syms) > 1:
+            best_rank, best_pair = None, None
+            for p in zip(syms, syms[1:]):
+                r = ranks.get(p)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best_pair = r, p
+            if best_pair is None:
+                break
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms)
+                        and (syms[i], syms[i + 1]) == best_pair):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        cache[word] = syms
+        return syms
+
+    def run(batches):
+        for pdf in batches:
+            cache: dict = {}
+            ids, counts, toks = [], [], []
+            for did, text in zip(pdf[id_col], pdf[text_col]):
+                words = str(text).lower().split() if text is not None else []
+                enc: list[str] = []
+                for w in words:
+                    if len(w) > MAX_WORD_LEN:
+                        continue
+                    enc.extend(encode_word(w, cache))
+                ids.append(did)
+                counts.append(len(enc))
+                if keep_tokens:
+                    toks.append(enc)
+            data = {id_col: ids, "n_subword_tokens": counts}
+            if keep_tokens:
+                data["subword_tokens"] = toks
+            yield pd.DataFrame(data)
+
+    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)

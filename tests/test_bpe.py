@@ -115,3 +115,38 @@ def test_merge_candidates_plan_discipline(spark):
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "TakeOrderedAndProject" in p
     assert "CartesianProduct" not in p
+
+
+def test_apply_merges_reproduces_training_segmentation(spark):
+    """Rank-greedy encode with the trained merge list reproduces the
+    trained vocab's symbol sequences on in-vocab words, and counts/
+    tokens line up per document."""
+    merges, vocab = bpe.train_bpe(_docs(spark), num_merges=8)
+    trained = {r["word"]: list(r["syms"]) for r in vocab.collect()}
+    vocab.unpersist()
+    out = bpe.apply_merges(_docs(spark), merges, keep_tokens=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    docs = {r["doc_id"]: r["text"] for r in _docs(spark).collect()}
+    for did, text in docs.items():
+        expect = []
+        for w in text.lower().split():
+            expect.extend(trained[w])
+        assert rows[did]["subword_tokens"] == expect, did
+        assert rows[did]["n_subword_tokens"] == len(expect)
+
+
+def test_apply_merges_unseen_word_and_plan(spark):
+    # an out-of-vocab word still encodes (falls back toward chars);
+    # empty text encodes to zero tokens; the plan is one Arrow pass
+    # with no shuffle
+    merges, vocab = bpe.train_bpe(_docs(spark), num_merges=3)
+    vocab.unpersist()
+    docs = spark.createDataFrame(
+        [(1, "lowest"), (2, "")], "doc_id long, text string")
+    out = bpe.apply_merges(docs, merges, keep_tokens=True)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # merges after 3 rounds: es, est, est</w> -> 'lowest' = l o w est</w>
+    assert rows[1]["subword_tokens"] == ["l", "o", "w", "est</w>"]
+    assert rows[2]["n_subword_tokens"] == 0
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p
