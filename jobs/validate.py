@@ -84,17 +84,7 @@ def _apply_paragraph_strip(docs, min_chars: int):
     first (the default gate does) before trusting stripped output."""
     from intent_classifier_service_spark.operators import dedup as D
 
-    ex = docs.select(
-        "doc_id", "part_key",
-        F.posexplode_outer("spans").alias("_pos", "_span"),
-    )
-    units = ex.filter(
-        (F.col("_span.kind") == "text") & F.col("_span.text").isNotNull()
-        & F.col("doc_id").isNotNull()
-    ).select(
-        F.struct("doc_id", "part_key", "_pos").alias("_uid"),
-        F.col("_span.text").alias("text"),
-    )
+    ex, units = _text_span_units(docs)
     viol = D.paragraph_duplicates(units, id_col="_uid",
                                   min_chars=min_chars).select(
         F.col("_uid.part_key").alias("part_key"),
@@ -110,6 +100,31 @@ def _apply_paragraph_strip(docs, min_chars: int):
     stripped = D.strip_duplicate_paragraphs(
         units, id_col="_uid", min_chars=min_chars
     ).select(F.col("_uid"), F.col("text").alias("_new_text"))
+    return _rebuild_spans(docs, ex, stripped), viol
+
+
+def _text_span_units(docs):
+    """(exploded, units): every TEXT span's text as a rewrite unit keyed
+    by struct(doc_id, part_key, span position) — shared by the
+    paragraph and substring-window strips. Null doc_ids are excluded
+    (they fail R-DOC-ID-NOTNULL anyway and can't equi-join back)."""
+    ex = docs.select(
+        "doc_id", "part_key",
+        F.posexplode_outer("spans").alias("_pos", "_span"),
+    )
+    units = ex.filter(
+        (F.col("_span.kind") == "text") & F.col("_span.text").isNotNull()
+        & F.col("doc_id").isNotNull()
+    ).select(
+        F.struct("doc_id", "part_key", "_pos").alias("_uid"),
+        F.col("_span.text").alias("text"),
+    )
+    return ex, units
+
+
+def _rebuild_spans(docs, ex, stripped):
+    """Re-attach rewritten unit texts onto their spans and rebuild each
+    doc's span array in original order (unmatched spans untouched)."""
     rebuilt = (
         ex.filter(F.col("_pos").isNotNull())
         .join(stripped,
@@ -124,12 +139,42 @@ def _apply_paragraph_strip(docs, min_chars: int):
             F.array_sort(F.collect_list(F.struct("_pos", "_span2"))),
             lambda s: s["_span2"]).alias("_spans2"))
     )
-    out = (
+    return (
         docs.join(rebuilt, ["doc_id", "part_key"], "left")
         .select("doc_id",
                 F.coalesce("_spans2", "spans").alias("spans"), "part_key")
     )
-    return out, viol
+
+
+def _apply_window_strip(docs, k: int, min_run_tokens: int):
+    """ExactSubstr removal over the spans corpus (--strip-dup-windows):
+    cross-doc duplicated token runs of >= min_run_tokens tokens are cut
+    from every TEXT span except the globally-first occurrence
+    (dedup.strip_duplicate_windows semantics at span-unit grain).
+    Returns (stripped_docs, violation_rows) — one R-SUBSTR-DUP row per
+    cut interval, shaped for the violations sink. Same global-transform
+    contract as the paragraph strip: full-corpus view, runs BEFORE the
+    resume pending filter."""
+    from intent_classifier_service_spark.operators import dedup as D
+
+    ex, units = _text_span_units(docs)
+    cuts = D.duplicate_cut_intervals(
+        units, k=k, min_run_tokens=min_run_tokens, id_col="_uid")
+    viol = cuts.select(
+        F.col("_uid.part_key").alias("part_key"),
+        F.col("_uid.doc_id").alias("doc_id"),
+        F.lit("R-SUBSTR-DUP").alias("rule_id"),
+        F.col("_uid._pos").cast("int").alias("span_index"),
+        F.format_string("start_token=%d,end_token=%d,n_windows=%d",
+                        F.col("start_token"), F.col("end_token"),
+                        F.col("n_windows")).alias("observed"),
+        F.lit("token run unique across corpus "
+              "(duplicate run cut, first occurrence kept)").alias("expected"),
+    )
+    stripped = D.strip_duplicate_windows(
+        units, k=k, min_run_tokens=min_run_tokens, id_col="_uid", cuts=cuts
+    ).select(F.col("_uid"), F.col("text").alias("_new_text"))
+    return _rebuild_spans(docs, ex, stripped), viol
 
 
 def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = None,
@@ -137,16 +182,32 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         baseline: str | None = None, snapshot_id: str = "parquet-v0",
         dedup_survivor: str | None = None,
         strip_dup_paragraphs: bool = False,
-        para_min_chars: int = 30) -> dict:
+        para_min_chars: int = 30,
+        strip_dup_windows: bool = False,
+        window_k: int = 8,
+        min_run_tokens: int = 50) -> dict:
     rules = rules or R.RuleSet()
     t0 = time.time()
     para_viol = None
     n_para_viol = None
+    win_viol = None
+    n_win_viol = None
     if strip_dup_paragraphs:
         # boilerplate strip BEFORE rule validation: verdicts/violations
         # describe the STRIPPED corpus; the duplicate-paragraph
         # occurrences themselves surface as R-PARA-DUP violation rows
         docs, para_viol = _apply_paragraph_strip(docs, para_min_chars)
+    if strip_dup_windows:
+        # ExactSubstr removal (on the post-paragraph text when both are
+        # on): cut intervals surface as R-SUBSTR-DUP violation rows
+        docs, win_viol = _apply_window_strip(docs, window_k, min_run_tokens)
+    if strip_dup_paragraphs or strip_dup_windows:
+        # the stripped corpus feeds several downstream actions
+        # (verdicts, drift, profiles); without a materialization each
+        # action re-runs the whole strip explode/join subtree. At
+        # 100 TB this would be a parquet write+read; in-process the
+        # persist is the same plan cut.
+        docs = docs.persist()
     docs_all = docs  # the legacy (non-incremental) resume path scans it
     done_keys: list[int] = []
     if store is not None and resume:
@@ -256,17 +317,23 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         # the dynamic overwrite replaces exactly the (R-PARA-DUP, *)
         # partitions with a complete fresh set — never a stale mix
         all_v = all_v.unionByName(para_viol.select(*all_v.columns))
+    if win_viol is not None:
+        # R-SUBSTR-DUP rides the same global-transform contract
+        all_v = all_v.unionByName(win_viol.select(*all_v.columns))
     tables.write_violations(all_v, os.path.join(output, "violations"),
                             partition_by=("rule_id", "part_key"),
                             dynamic=resuming)
-    if para_viol is not None:
-        # summary count from the just-written sink — re-counting the
-        # lazy para_viol frame would re-run the whole paragraph
-        # explode/join subtree a second time
-        n_para_viol = (
-            spark.read.parquet(os.path.join(output, "violations"))
-            .filter(F.col("rule_id") == "R-PARA-DUP").count()
-        )
+    if para_viol is not None or win_viol is not None:
+        # summary counts from the just-written sink — re-counting the
+        # lazy viol frames would re-run the whole strip explode/join
+        # subtree a second time
+        written = spark.read.parquet(os.path.join(output, "violations"))
+        if para_viol is not None:
+            n_para_viol = written.filter(
+                F.col("rule_id") == "R-PARA-DUP").count()
+        if win_viol is not None:
+            n_win_viol = written.filter(
+                F.col("rule_id") == "R-SUBSTR-DUP").count()
 
     # one scan for per-partition verdicts; global verdicts are a rollup
     # of the tiny per-partition table, not a second pass over the docs.
@@ -478,6 +545,10 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     if n_para_viol is not None:
         out["paragraph_dedup"] = {"min_chars": para_min_chars,
                                   "n_duplicate_occurrences": n_para_viol}
+    if n_win_viol is not None:
+        out["substring_dedup"] = {"window_k": window_k,
+                                  "min_run_tokens": min_run_tokens,
+                                  "n_cut_intervals": n_win_viol}
     return out
 
 
@@ -509,6 +580,16 @@ def main() -> int:
                     help="minimum trimmed paragraph length considered by "
                          "--strip-dup-paragraphs (shorter lines are near-"
                          "universal and carry no dedup value)")
+    ap.add_argument("--strip-dup-windows", action="store_true",
+                    help="ExactSubstr removal: cut cross-document duplicated "
+                         "token runs >= --min-run-tokens from text spans "
+                         "before rule validation (first occurrence kept); "
+                         "cut intervals surface as R-SUBSTR-DUP rows")
+    ap.add_argument("--window-k", type=int, default=8,
+                    help="token-window width for --strip-dup-windows")
+    ap.add_argument("--min-run-tokens", type=int, default=50,
+                    help="minimum duplicated run length (tokens) cut by "
+                         "--strip-dup-windows (Lee et al. use 50)")
     args = ap.parse_args()
 
     spark = get_spark("validate")
@@ -555,7 +636,10 @@ def main() -> int:
                  baseline=args.baseline, snapshot_id=snapshot_id,
                  dedup_survivor=args.dedup_survivor,
                  strip_dup_paragraphs=args.strip_dup_paragraphs,
-                 para_min_chars=args.para_min_chars)
+                 para_min_chars=args.para_min_chars,
+                 strip_dup_windows=args.strip_dup_windows,
+                 window_k=args.window_k,
+                 min_run_tokens=args.min_run_tokens)
     print(json.dumps(result))
     return 0 if result["gate_pass"] else 1
 

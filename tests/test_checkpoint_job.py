@@ -184,3 +184,53 @@ def test_validate_job_strip_dup_paragraphs(spark, tmp_path):
     # sharing is counted per distinct text-span UNIT (doc, span pos)
     assert para_rows.filter(~F.col("observed").contains(
         f"n_docs_sharing={n_boiler_spans}")).count() == 0
+
+
+def test_validate_job_strip_dup_windows(spark, tmp_path):
+    """--strip-dup-windows: a planted duplicated token run is cut from
+    every text span except the globally-first occurrence, each cut
+    interval lands in the violations sink as an R-SUBSTR-DUP row, and
+    the gate verdict is computed over the stripped corpus."""
+    RUN = " ".join(f"dup{i}" for i in range(60))  # 60-token planted run
+    docs = datagen.documents_spans(spark, 600)
+    planted = docs.limit(20).withColumn(
+        "doc_id", F.concat(F.lit("substr-"), F.col("doc_id"))
+    ).withColumn(
+        "spans",
+        F.transform(
+            "spans",
+            lambda s: F.when(
+                s["kind"] == "text",
+                s.withField("text", F.concat(s["text"], F.lit(" " + RUN))),
+            ).otherwise(s)),
+    )
+    all_docs = docs.unionByName(planted)
+    n_run_spans = (
+        planted.select(F.explode("spans").alias("s"))
+        .filter(F.col("s.kind") == "text").count()
+    )
+    assert n_run_spans >= 20
+
+    # unit-level: exactly one occurrence of the run survives corpus-wide
+    docs2, viol = validate._apply_window_strip(all_docs, 8, 50)
+    kept = (
+        docs2.select(F.explode("spans").alias("s"))
+        .filter((F.col("s.kind") == "text")
+                & F.col("s.text").contains("dup0 dup1 dup2")).count()
+    )
+    assert kept == 1
+    assert docs2.count() == all_docs.count()
+    # every non-keeper occurrence contributes at least one cut interval
+    assert viol.count() >= n_run_spans - 1
+
+    # e2e through the job flag: violations sink + gate verdict + summary
+    out = str(tmp_path / "out")
+    r = validate.run(spark, all_docs, datagen.valid_media_refs(spark), out,
+                     strip_dup_windows=True)
+    assert r["gate_pass"] is True
+    assert r["n_docs"] == 620
+    assert r["substring_dedup"]["min_run_tokens"] == 50
+    n_sink = r["substring_dedup"]["n_cut_intervals"]
+    v = spark.read.parquet(os.path.join(out, "violations"))
+    assert v.filter(F.col("rule_id") == "R-SUBSTR-DUP").count() == n_sink
+    assert n_sink >= n_run_spans - 1
