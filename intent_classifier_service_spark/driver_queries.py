@@ -2474,6 +2474,43 @@ FROM embeddings WHERE vec_id < 8
 """
 
 
+def q_ivf_topk_quantized(spark, sf_dir):
+    """int8-quantized IVF ANN (similarity.ivf_topk_quantized): build a
+    quantize=True index (cells_q8 sidecar) into a per-SF cache path,
+    rank candidates on the 4x-smaller codes, rescore the shortlist
+    exactly against the full-precision cells. Same planted-duplicate
+    top-1 invariant as the other ANN queries: the exact rescore puts
+    corpus vec v (cosine exactly 1.0, asc-id tie-break) at rank 1 —
+    quantization can only affect WHICH candidates reach the rescore,
+    and the true duplicate's code score ~1 always shortlists."""
+    import glob
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<float>").alias("embedding")
+    )
+    planted = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    qs = [
+        (int(r["vec_id"]) + 100000, [float(x) for x in r["embedding"]])
+        for r in emb.filter(F.col("vec_id") < 8).collect()
+    ]
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    path = (f"/tmp/spark_graft_ivf_idx_q8_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_{st.st_mtime_ns}_{st.st_size}")
+    if not glob.glob(os.path.join(path, "manifest.json")):
+        similarity.build_ivf_index(corpus, path, n_centroids=16,
+                                   quantize=True)
+    out = similarity.ivf_topk_quantized(spark, path, qs, k=10, n_probe=4)
+    return out.filter(F.col("rank") == 1).select("query_id", "vec_id", "rank")
+
+
+SQL_IVF_TOPK_QUANTIZED = SQL_IVF_TOPK_INDEXED
+
+
 def q_drift_psi_lang(spark, sf_dir):
     """PSI between even/odd doc_id halves of the language-ID
     distribution — the text-profile drift rule the validate job gates
@@ -3704,6 +3741,7 @@ QUERIES_PARKED = {
     "column_stats_orders": (q_column_stats_orders, SQL_COLUMN_STATS),
     "hash_split_assign": (q_hash_split_assign, SQL_HASH_SPLIT),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
+    "ivf_topk_quantized": (q_ivf_topk_quantized, SQL_IVF_TOPK_QUANTIZED),
 }
 
 QUERIES = {**QUERIES_HEAD, **QUERIES_PARKED}

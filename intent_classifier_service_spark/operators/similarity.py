@@ -321,6 +321,36 @@ def _assign_cells(embeddings: DataFrame, centroids: np.ndarray,
     )
 
 
+def _quantize_cells(assigned: DataFrame, id_col: str,
+                    vec_col: str) -> DataFrame:
+    """(id, q8, cell): symmetric per-vector int8 quantization of an
+    assigned (id, vec, cell) frame — q = round(v / (max|v|/127)),
+    clipped to [-127, 127]. Cosine over q8 needs NO stored scale
+    (per-vector scale cancels in dot/||q||), so the sidecar carries
+    only the codes: 4x less index I/O per probed cell than float32.
+    Zero vectors quantize to zeros (scored 0 like the full path)."""
+
+    def quant(batches):
+        for pdf in batches:
+            mat = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            s = np.maximum(np.abs(mat).max(axis=1, keepdims=True), 1e-12) / 127.0
+            q = np.clip(np.rint(mat / s), -127, 127).astype(np.int8)
+            out = pd.DataFrame({
+                id_col: pdf[id_col].values,
+                "q8": [row.tolist() for row in q],
+                "cell": pdf["cell"].values,
+            })
+            yield out
+
+    return assigned.mapInPandas(
+        quant, schema=f"{id_col} long, q8 array<tinyint>, cell int"
+    )
+
+
+def _q8_dir(path: str) -> str:
+    return os.path.join(path, "cells_q8")
+
+
 # Rebalance criterion recorded in the index manifest: when the largest
 # cell exceeds this multiple of the mean cell size, probing that cell
 # costs ~skew× the average scan and the index should be REBUILT
@@ -371,12 +401,19 @@ def _read_ivf_manifest(path: str) -> dict | None:
 def build_ivf_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     seed: int = 7, kmeans_sample: int = 4096,
-                    kmeans_iters: int = 8) -> np.ndarray:
+                    kmeans_iters: int = 8,
+                    quantize: bool = False) -> np.ndarray:
     """Persist an IVF index: vectors written as parquet PARTITIONED BY
     their cell id, centroids alongside. At query time only the probed
     cells' directories are read — partition pruning at the file level,
     the 100 TB ANN pattern (an in-memory cell column can't prune I/O).
-    Returns the trained centroids."""
+    Returns the trained centroids.
+
+    ``quantize=True`` additionally writes an int8 sidecar
+    (cells_q8/, same cell partitioning): ivf_topk_quantized scans the
+    4x-smaller codes for candidate ranking and refetches full vectors
+    only for the rescore set. The sidecar's presence on disk IS the
+    flag — append and rebalance keep it in sync when it exists."""
     sample = _kmeans_sample(embeddings, id_col, vec_col,
                             max(kmeans_sample, n_centroids))
     centroids = _spherical_kmeans(sample, min(n_centroids, len(sample)),
@@ -386,6 +423,9 @@ def build_ivf_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
     assigned.write.mode("overwrite").partitionBy("cell").parquet(
         os.path.join(path, "cells")
     )
+    if quantize:
+        _quantize_cells(assigned, id_col, vec_col).write.mode(
+            "overwrite").partitionBy("cell").parquet(_q8_dir(path))
     spark = embeddings.sparkSession
     cdf = spark.createDataFrame(
         [(i, centroids[i].tolist()) for i in range(len(centroids))],
@@ -429,6 +469,9 @@ def append_to_ivf_index(spark, path: str, new_embeddings: DataFrame,
     assigned.write.mode("append").partitionBy("cell").parquet(
         os.path.join(path, "cells")
     )
+    if os.path.isdir(_q8_dir(path)):  # keep the int8 sidecar in sync
+        _quantize_cells(assigned, id_col, vec_col).write.mode(
+            "append").partitionBy("cell").parquet(_q8_dir(path))
     # counts of THIS batch only (re-runs the assign matmul on the new
     # vectors — the append's own size, not the index's)
     new_counts = {
@@ -532,6 +575,13 @@ def rebalance_ivf_cells(spark, path: str,
         (split.write.mode("overwrite")
          .option("partitionOverwriteMode", "dynamic")
          .partitionBy("cell").parquet(cells_root))
+        if os.path.isdir(_q8_dir(path)):
+            # re-quantize ONLY the split cell's vectors; the dynamic
+            # overwrite replaces exactly the (old, new) q8 partitions
+            (_quantize_cells(split, id_col, vec_col)
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("cell").parquet(_q8_dir(path)))
         cent_map[c] = sub_centroids[0].tolist()
         cent_map[new_id] = sub_centroids[1].tolist()
         counts[c] = sub_counts.get(c, 0)
@@ -593,6 +643,96 @@ def ivf_topk_indexed(spark, path: str, queries: list[tuple[int, list[float]]],
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "score", "rank")
+    )
+
+
+def ivf_topk_quantized(spark, path: str, queries: list[tuple[int, list[float]]],
+                       k: int = 10, n_probe: int = 4,
+                       rescore_factor: int = 4,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Query the int8 sidecar of a quantized IVF index: candidate
+    ranking scans cells_q8/ (4x less I/O per probed cell — symmetric
+    per-vector quantization whose scale cancels in cosine), the top
+    ``rescore_factor * k`` candidates per query are re-scored EXACTLY
+    against the full-precision cells (fetched by equi-join over the
+    same pruned cell set), and the final top-k is exact over that
+    candidate set. Quantization error can only change WHICH candidates
+    reach the rescore, never their final scores — with
+    rescore_factor >= 2 recall matches the full-precision path on the
+    test table (pinned in tests/test_ann_recall)."""
+    q8_root = _q8_dir(path)
+    if not os.path.isdir(q8_root):
+        raise ValueError(f"{path}: no cells_q8/ sidecar — "
+                         "build_ivf_index(quantize=True) first")
+    crows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+    centroids = np.zeros((len(crows), len(crows[0]["centroid"])))
+    for r in crows:
+        centroids[r["cell"]] = r["centroid"]
+
+    probe_cells: set[int] = set()
+    q_rows = []
+    qmap = {}
+    for qid, vec in queries:
+        v = np.asarray(vec, dtype=np.float64)
+        v = v / max(np.linalg.norm(v), 1e-12)
+        qmap[int(qid)] = v.tolist()
+        probes = np.argsort(-(centroids @ v))[:n_probe]
+        probe_cells.update(int(c) for c in probes)
+        q_rows.extend((int(qid), int(c)) for c in probes)
+    qdf = spark.createDataFrame(q_rows, "query_id long, cell int")
+    qlit = F.map_from_arrays(
+        F.array(*[F.lit(qid) for qid in qmap]),
+        F.array(*[F.array(*[F.lit(float(x)) for x in vec])
+                  for vec in qmap.values()]),
+    )
+    qvec = F.element_at(qlit, F.col("query_id"))
+
+    cand = (
+        spark.read.parquet(q8_root)
+        .filter(F.col("cell").isin(*sorted(probe_cells)))  # dir pruning
+        .join(F.broadcast(qdf), "cell")
+        .select("query_id", id_col, "q8")
+        .dropDuplicates(["query_id", id_col])
+    )
+    # approx cosine over the codes: tinyint*double stays in double; the
+    # norm squares cast FIRST (tinyint*tinyint would overflow-throw
+    # under ANSI at 127*127)
+    adot = F.aggregate(
+        F.zip_with(F.col("q8"), qvec, lambda a, b: a * b),
+        F.lit(0.0), lambda acc, x: acc + x)
+    anorm = F.sqrt(F.aggregate(
+        F.transform(F.col("q8"),
+                    lambda a: a.cast("double") * a.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_score"), F.asc(id_col))
+    shortlist = (
+        cand.select("query_id", id_col,
+                    (adot / F.greatest(anorm, F.lit(1e-12)))
+                    .alias("approx_score"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rescore_factor * k)
+        .select("query_id", id_col)
+    )
+    full = (
+        spark.read.parquet(os.path.join(path, "cells"))
+        .filter(F.col("cell").isin(*sorted(probe_cells)))
+        .select(id_col, vec_col)
+    )
+    rescore = full.join(F.broadcast(shortlist), id_col)
+    dot = F.aggregate(F.zip_with(F.col(vec_col), qvec, lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    norm = F.sqrt(F.aggregate(F.transform(F.col(vec_col), lambda a: a * a),
+                              F.lit(0.0), lambda acc, x: acc + x))
+    scored = rescore.select(
+        "query_id", id_col,
+        (dot / F.greatest(norm, F.lit(1e-12))).alias("score"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "score", "rank")
     )

@@ -235,3 +235,102 @@ def test_ivf_rebalance_splits_hot_cell_only(spark, tmp_path):
     approx = topk_ids(out)
     recalls = [len(exact[q] & approx.get(q, set())) / 10 for q in exact]
     assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_ivf_quantized_sidecar_and_query(spark, tmp_path):
+    """int8-quantized IVF: build(quantize=True) writes a cells_q8/
+    sidecar in lockstep with cells/; ivf_topk_quantized ranks on the
+    codes and rescores EXACTLY — final scores for shared rows equal the
+    full-precision path's, and recall@10 vs brute force holds the same
+    0.8 bar. Append and rebalance keep the sidecar in sync."""
+    import os
+    import numpy as np
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    first = emb.filter(F.col("vec_id") % 2 == 0)
+    second = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivfq")
+    similarity.build_ivf_index(first, path, n_centroids=16, quantize=True)
+    assert os.path.isdir(path + "/cells_q8")
+
+    # sidecar mirrors cells/: same (vec_id, cell) membership, int8 range
+    cells = spark.read.parquet(path + "/cells").select("vec_id", "cell")
+    q8 = spark.read.parquet(path + "/cells_q8")
+    assert q8.count() == cells.count()
+    assert (q8.select("vec_id", "cell").exceptAll(cells).count() == 0)
+    mn, mx = q8.select(
+        F.min(F.array_min("q8")), F.max(F.array_max("q8"))).first()
+    assert -127 <= mn and mx <= 127
+
+    # append keeps the sidecar in sync
+    similarity.append_to_ivf_index(spark, path, second)
+    assert (spark.read.parquet(path + "/cells_q8").count()
+            == spark.read.parquet(path + "/cells").count() == emb.count())
+
+    queries = [(int(r["vec_id"]), [float(x) for x in r["embedding"]])
+               for r in emb.filter(F.col("vec_id") < 3).collect()]
+    outq = similarity.ivf_topk_quantized(spark, path, queries, k=10,
+                                         n_probe=12)
+    outf = similarity.ivf_topk_indexed(spark, path, queries, k=10,
+                                       n_probe=12)
+
+    def topk(df):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r["query_id"], {})[r["vec_id"]] = r["score"]
+        return got
+
+    tq, tf = topk(outq), topk(outf)
+    # exact rescore: any candidate both paths ranked carries the SAME score
+    for qid in tf:
+        for vid, s in tf[qid].items():
+            if vid in tq.get(qid, {}):
+                assert abs(tq[qid][vid] - s) < 1e-9
+    exact = {}
+    for r in similarity.brute_force_topk(emb, queries, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & set(tq.get(q, {}))) / 10 for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+    # the quantized shortlist really reads the sidecar (the plan-string
+    # check would truncate past maxPlanStringLength; inputFiles is exact)
+    files = similarity.ivf_topk_quantized(
+        spark, path, queries, k=5).inputFiles()
+    assert any("cells_q8" in f for f in files), files[:5]
+
+
+def test_ivf_quantized_rebalance_keeps_sidecar_synced(spark, tmp_path):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from intent_classifier_service_spark.operators import similarity
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    path = str(tmp_path / "ivfq2")
+    similarity.build_ivf_index(emb, path, n_centroids=8, quantize=True)
+    # force a hot cell: 3n drifted vectors in TWO separable sub-clusters
+    # around one corpus vector (same recipe as the rebalance test above)
+    n = emb.count()
+    base = np.array(emb.filter(F.col("vec_id") == 0).first()["embedding"],
+                    dtype=np.float64)
+    rng = np.random.RandomState(11)
+    u = rng.normal(size=base.shape)
+    u /= np.linalg.norm(u)
+    bn = np.linalg.norm(base)
+    clones = spark.createDataFrame(
+        [(int(10_000 + i),
+          [float(x) for x in
+           base + (0.35 if i % 2 else -0.35) * bn * u
+           + rng.normal(scale=0.01 * bn, size=base.shape)])
+         for i in range(3 * n)],
+        "vec_id long, embedding array<float>")
+    m = similarity.append_to_ivf_index(spark, path, clones)
+    assert m["rebalance_recommended"] is True
+    m2 = similarity.rebalance_ivf_cells(spark, path)
+    assert len(m2["cell_counts"]) > len(m["cell_counts"])
+    # sidecar membership still mirrors cells/ exactly after the split
+    cells = spark.read.parquet(path + "/cells").select("vec_id", "cell")
+    q8 = spark.read.parquet(path + "/cells_q8").select("vec_id", "cell")
+    assert q8.exceptAll(cells).count() == 0
+    assert cells.exceptAll(q8).count() == 0
