@@ -158,3 +158,71 @@ def test_window_dedup_plan_discipline(spark):
         _docs(spark), k=K)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p3 and "BroadcastNestedLoop" not in p3
     assert "BatchEvalPython" not in p3 and "ArrowEvalPython" not in p3
+
+
+def test_window_stats_match_python_reference_random(spark):
+    """Randomized-corpus armor: duplicate_window_stats and
+    duplicate_token_spans equal a pure-Python reference on a seeded
+    random corpus with injected shared stretches (beyond the planted
+    fixtures above, this exercises arbitrary overlap/adjacency/run
+    geometry)."""
+    import random
+
+    rng = random.Random(42)
+    vocab = [f"t{i}" for i in range(30)]
+    shared = [" ".join(rng.choice(vocab) for _ in range(rng.randint(4, 12)))
+              for _ in range(5)]
+    rows = []
+    for did in range(40):
+        words = [rng.choice(vocab) for _ in range(rng.randint(0, 25))]
+        for s in shared:
+            if rng.random() < 0.3:
+                pos = rng.randint(0, len(words))
+                words[pos:pos] = s.split()
+        rows.append((did, " ".join(words)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # pure-Python reference
+    toks = {d: t.split() for d, t in rows if t.strip()}
+    wins = {d: [" ".join(t[i:i + K]) for i in range(len(t) - K + 1)]
+            for d, t in toks.items() if len(t) >= K}
+    sharing = {}
+    for d, ws in wins.items():
+        for w in set(ws):
+            sharing.setdefault(w, set()).add(d)
+    dup = {w for w, ds in sharing.items() if len(ds) > 1}
+    ref_stats, ref_spans = {}, {}
+    for d, ws in wins.items():
+        flags = [i for i, w in enumerate(ws) if w in dup]
+        run = best = 0
+        prev = None
+        spans = []
+        for i in flags:
+            if prev is not None and i - prev == 1:
+                run += 1
+            else:
+                run = 1
+            best = max(best, run)
+            prev = i
+            if spans and i <= spans[-1][1]:
+                spans[-1] = (spans[-1][0], max(spans[-1][1], i + K),
+                             spans[-1][2] + 1)
+            else:
+                spans.append((i, i + K, 1))
+        ref_stats[d] = (len(ws), len(flags),
+                        round(len(flags) / len(ws), 6),
+                        best + K - 1 if flags else 0)
+        if spans:
+            ref_spans[d] = spans
+
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"],
+                         r["dup_window_ratio"], r["max_dup_token_run"])
+           for r in dedup.duplicate_window_stats(docs, k=K).collect()}
+    assert got == ref_stats
+    got_spans = {}
+    for r in dedup.duplicate_token_spans(docs, k=K).collect():
+        got_spans.setdefault(r["doc_id"], []).append(
+            (r["start_token"], r["end_token"], r["n_windows"]))
+    for v in got_spans.values():
+        v.sort()
+    assert got_spans == ref_spans
