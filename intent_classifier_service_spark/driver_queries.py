@@ -3626,8 +3626,13 @@ LIMIT 50
 # trio, the drift PSI/KS family, stratified_sample, text_profile,
 # embedding_stats, the large-dim referential variant, ...), and (c) 10
 # stable r06-green fillers spanning the rule/eval/window families,
-# minus two parked mid-round for (d) the substring-window dedup pair
-# new in round 7 (duplicate_window_stats / duplicate_token_spans). The
+# minus four parked mid-round (dedup_earliest_window,
+# percentiles_lineitem, rollup_orders, sessionize_events — all riding
+# green r06 rows) to make room for (d) the round-7 second-half
+# operators: the substring-window/ExactSubstr family
+# (duplicate_window_stats / duplicate_token_spans / strip_dup_windows)
+# and bpe_merge_candidates. ivf_topk_quantized (also new) sits in
+# PARKED under strict-parity evidence until the next rotation. The
 # parked rows are all r06-driver-green and unchanged this round.
 DRIVER_WINDOW = 50
 
