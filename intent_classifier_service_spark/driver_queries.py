@@ -3578,6 +3578,34 @@ FROM documents d LEFT JOIN (
 """
 
 
+# --------------------------------------------------- split-leakage audit
+
+def q_split_leakage_audit(spark, sf_dir):
+    """Audit a PLAIN per-doc hash split for near-dup leakage
+    (sampling.split_leakage_violations): clusters from the real
+    minhash+chain pair graph whose members straddle splits — exactly
+    the contamination leakage_safe_split prevents (its output audits
+    clean, pinned in tests). Non-vacuous by construction: per-doc
+    hashing scatters ~1-(Σw²)≈34% of multi-member clusters."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    clusters = dedup.neardup_clusters(_neardup_pair_graph(spark, sf_dir))
+    assigned = sampling.hash_split(docs, _SPLIT_W, portable=True)
+    return sampling.split_leakage_violations(assigned, clusters)
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = _NEARDUP_GRAPH_CTE + f"""
+, assigned AS (
+  SELECT doc_id, {{case}} AS split FROM documents
+)
+SELECT c.cluster_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(count(DISTINCT s.split) AS BIGINT) AS n_splits,
+       list_aggr(list_sort(list(DISTINCT s.split)), 'string_agg', ',') AS splits
+FROM comp c JOIN assigned s ON s.doc_id = c.id
+GROUP BY c.cluster_id HAVING count(DISTINCT s.split) > 1
+""".format(case=_SQL_SPLIT_CASE.format(k="doc_id"))
+
+
 # ------------------------------------------------ BPE merge candidates
 
 def q_bpe_merge_candidates(spark, sf_dir):
@@ -3747,6 +3775,7 @@ QUERIES_PARKED = {
     "hash_split_assign": (q_hash_split_assign, SQL_HASH_SPLIT),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "ivf_topk_quantized": (q_ivf_topk_quantized, SQL_IVF_TOPK_QUANTIZED),
+    "split_leakage_audit": (q_split_leakage_audit, SQL_SPLIT_LEAKAGE_AUDIT),
 }
 
 QUERIES = {**QUERIES_HEAD, **QUERIES_PARKED}

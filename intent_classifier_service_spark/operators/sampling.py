@@ -408,3 +408,33 @@ def mixture_epoch_plan(df: DataFrame, group: str,
             .alias("epochs"),
         )
     )
+
+
+def split_leakage_violations(assigned: DataFrame, clusters: DataFrame,
+                             id_col: str = "doc_id",
+                             split_col: str = "split") -> DataFrame:
+    """Validation twin of leakage_safe_split: AUDIT an existing split
+    assignment for near-dup leakage — one row per cluster whose members
+    landed in more than one split: (cluster_id, n_members, n_splits,
+    splits [sorted comma-joined]). Empty output == the assignment is
+    leakage-free; leakage_safe_split's output always audits clean
+    (pinned in tests), a plain per-doc hash_split over clustered docs
+    does not.
+
+    Scale shape: one equi-join of the assignment against the
+    candidates-only cluster table (dimension-sized vs the corpus;
+    AQE broadcasts it) + one map-side-combinable groupBy per cluster.
+    The per-cluster split list is bounded by the number of split
+    names, never by corpus size."""
+    j = assigned.select(id_col, split_col).join(
+        clusters.select(F.col("id").alias(id_col), "cluster_id"), id_col)
+    return (
+        j.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.countDistinct(split_col).alias("n_splits"),
+            F.array_join(F.array_sort(F.collect_set(split_col)), ",")
+            .alias("splits"),
+        )
+        .filter(F.col("n_splits") > 1)
+    )

@@ -284,3 +284,35 @@ def test_mixture_epoch_plan(spark):
     # a weighted source absent from the corpus surfaces, not vanishes
     assert rows["code"]["available_tokens"] == 0
     assert rows["code"]["epochs"] is None
+
+
+def test_split_leakage_violations_planted_and_clean(spark):
+    """split_leakage_violations flags exactly the clusters whose
+    members straddle splits; leakage_safe_split's own output always
+    audits clean (the operator pair is a property and its check)."""
+    from intent_classifier_service_spark.operators import sampling as S
+    from pyspark.sql import functions as F
+
+    clusters = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100),   # cluster 100: docs 1,2,3
+         (4, 200), (5, 200),             # cluster 200: docs 4,5
+         (6, 300), (7, 300)],            # cluster 300: docs 6,7
+        "id long, cluster_id long")
+    assigned = spark.createDataFrame(
+        [(1, "train"), (2, "val"), (3, "train"),   # 100 straddles
+         (4, "test"), (5, "test"),                 # 200 clean
+         (6, "train"), (7, "test"),                # 300 straddles
+         (8, "val")],                              # unclustered: ignored
+        "doc_id long, split string")
+    out = {r["cluster_id"]: r for r in
+           S.split_leakage_violations(assigned, clusters).collect()}
+    assert set(out) == {100, 300}
+    assert (out[100]["n_members"], out[100]["n_splits"],
+            out[100]["splits"]) == (3, 2, "train,val")
+    assert out[300]["splits"] == "test,train"
+
+    # the leakage-safe assignment audits clean on the same clusters
+    docs = spark.range(1, 9).select(F.col("id").alias("doc_id"))
+    safe = S.leakage_safe_split(
+        docs, clusters, {"train": 0.5, "val": 0.25, "test": 0.25})
+    assert S.split_leakage_violations(safe, clusters).count() == 0
