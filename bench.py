@@ -72,7 +72,26 @@ def _headline_queries():
         # round-7: packing throughput at scale (1M metadata rows through
         # the Fenwick best-fit kernel, 64 buckets, 2048-token budget)
         "pack_1m_docs": _q_pack_1m,
+        # round-8: size-gated driver-side BPE trainer at a real merge
+        # count (256 merges; the round-7 distributed path would pay
+        # ~512 scheduled Spark rounds here)
+        "bpe_train_256": _q_bpe_train_256,
     }
+
+
+def _q_bpe_train_256(spark, sf_dir):
+    """256-merge BPE training on the sf documents corpus through the
+    size-gated driver path (round-7 verdict #1): one corpus scan for
+    the histogram, one metadata-sized collect, in-memory incremental
+    trainer, vocab frame back out. Correctness is pinned separately
+    (driver==distributed pytest + the bpe_train_first3 oracle); this
+    entry tracks the trainer's wall-clock at a real merge count."""
+    from intent_classifier_service_spark.operators import bpe
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    merges, vocab = bpe.train_bpe(docs, num_merges=256)
+    assert len(merges) == 256, len(merges)
+    return vocab
 
 
 def _q_pack_1m(spark, sf_dir):
@@ -90,6 +109,47 @@ def _q_pack_1m(spark, sf_dir):
     )
     packed, _ = packing.pack_greedy(docs, 2048, n_buckets=64)
     return packed
+
+
+def _read_proc_stat() -> tuple[int, int]:
+    """(cumulative steal ticks, cumulative total ticks) from the
+    aggregate cpu line of /proc/stat."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return (vals[7] if len(vals) > 7 else 0), sum(vals)
+    except (OSError, ValueError, IndexError):
+        return 0, 0
+
+
+def _steal_pct(before: tuple[int, int], after: tuple[int, int]) -> float:
+    """Hypervisor steal % over the interval between two /proc/stat
+    reads — round-7 verdict #7: the calm-window addendum could only
+    INFER 'frequency/hypervisor' for the ~30% uniform pure-scan
+    inflation; stamping per-sample steal makes the next such round
+    measured instead of argued."""
+    dt = after[1] - before[1]
+    return round(100.0 * (after[0] - before[0]) / dt, 2) if dt > 0 else 0.0
+
+
+def _cpu_mhz() -> float | None:
+    """Mean instantaneous core frequency: scaling_cur_freq when the
+    cpufreq sysfs exists, else /proc/cpuinfo 'cpu MHz' lines."""
+    import glob as _glob
+
+    try:
+        paths = _glob.glob(
+            "/sys/devices/system/cpu/cpu*/cpufreq/scaling_cur_freq")
+        if paths:
+            khz = [int(open(p).read().strip()) for p in paths]
+            return round(sum(khz) / len(khz) / 1000.0, 0)
+        with open("/proc/cpuinfo") as f:
+            mhz = [float(line.split(":")[1]) for line in f
+                   if line.startswith("cpu MHz")]
+        return round(sum(mhz) / len(mhz), 0) if mhz else None
+    except (OSError, ValueError):
+        return None
 
 
 def _summary_vs_baseline(timings: dict[str, float]) -> dict:
@@ -151,11 +211,16 @@ def run_bench(sf_dir: str, cpus: int | None = None, query_runs: int = 2) -> dict
     for _ in range(max(1, query_runs)):
         for name, fn in queries.items():
             load1 = round(os.getloadavg()[0], 1)
+            stat0 = _read_proc_stat()
             t0 = time.time()
             df = fn(spark, sf_dir)
             rows[name] = df.count()  # drain the plan
             sec = time.time() - t0
-            samples.setdefault(name, []).append([round(sec, 3), load1])
+            # per-sample host context: [sec, load1, steal% over the
+            # sample's own interval, mean core MHz at sample end]
+            samples.setdefault(name, []).append(
+                [round(sec, 3), load1,
+                 _steal_pct(stat0, _read_proc_stat()), _cpu_mhz()])
             if sec < timings.get(name, float("inf")):
                 timings[name] = sec
                 load_at_min[name] = load1
@@ -170,11 +235,13 @@ def run_bench(sf_dir: str, cpus: int | None = None, query_runs: int = 2) -> dict
     validate_sec, n_docs, n_viol = float("inf"), 0, 0
     for _ in range(2):
         load1 = round(os.getloadavg()[0], 1)
+        stat0 = _read_proc_stat()
         t0 = time.time()
         n_docs, n_viol = _validate_synthetic(spark, N_BENCH_DOCS)
         sec = time.time() - t0
         samples.setdefault("validate_synthetic_full", []).append(
-            [round(sec, 3), load1])
+            [round(sec, 3), load1,
+             _steal_pct(stat0, _read_proc_stat()), _cpu_mhz()])
         if sec < validate_sec:
             validate_sec = sec
             load_at_min["validate_synthetic_full"] = load1

@@ -18,12 +18,26 @@ explicitly NOT the corpus hot path.
 
 from __future__ import annotations
 
+import heapq
+from collections import defaultdict
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 END_OF_WORD = "</w>"
+
+# train_bpe collects the (word, count) histogram and trains driver-side
+# when the vocabulary has at most this many distinct words — the same
+# size-gated short-circuit pattern as neardup_clusters' union-find
+# (dedup.py): the histogram is METADATA-sized (a 100 TB corpus still
+# has only a few million distinct in-length words), and one in-memory
+# trainer beats num_merges scheduled Spark rounds by orders of
+# magnitude (a 32k-merge vocab would otherwise pay ~64k+ job-scheduling
+# floors regardless of data size). The distributed per-round path stays
+# available above the gate (and is forced in tests with driver_gate=0).
+DRIVER_VOCAB_GATE = 5_000_000
 
 # Words longer than this are dropped from the histogram: a 10^6-char
 # "word" (binary garbage, base64 blobs) would otherwise materialize a
@@ -124,26 +138,123 @@ def _merge_pair_in_syms(left: str, right: str):
     return _merge
 
 
+def _train_bpe_inmem(
+    hist: dict[str, int], num_merges: int
+) -> tuple[list[tuple[str, str, int]], dict[str, list[str]]]:
+    """In-memory incremental BPE trainer over a (word -> count)
+    histogram: returns ([(left, right, pair_count_at_selection), ...],
+    {word -> final symbol list}). Byte-identical merge sequence to the
+    naive recount-every-round reference trainer (max pair count, ties
+    broken by smallest (left, right)) — pinned against it in
+    tests/test_bpe.py on randomized corpora.
+
+    Incremental in the subword-nmt sense: pair counts live in a dict, a
+    pair -> {word indices} inverted index scopes each merge's rewrite
+    to only the words that contain the pair, and selection uses a
+    lazy-deletion max-heap (every count change pushes a fresh entry;
+    stale entries are skipped when their count no longer matches). Per
+    merge the cost is O(affected words + log heap), not O(|vocab|)."""
+    words = list(hist.keys())
+    counts = [hist[w] for w in words]
+    syms: list[list[str]] = [list(w) + [END_OF_WORD] for w in words]
+    stats: dict[tuple[str, str], int] = {}
+    index: defaultdict[tuple[str, str], set[int]] = defaultdict(set)
+    for i, s in enumerate(syms):
+        c = counts[i]
+        for p in zip(s, s[1:]):
+            stats[p] = stats.get(p, 0) + c
+            index[p].add(i)
+    heap: list[tuple[int, tuple[str, str]]] = [
+        (-n, p) for p, n in stats.items()
+    ]
+    heapq.heapify(heap)
+    merges: list[tuple[str, str, int]] = []
+    while len(merges) < num_merges and heap:
+        negn, best = heapq.heappop(heap)
+        if stats.get(best) != -negn:
+            continue  # stale heap entry (count changed since push)
+        merges.append((best[0], best[1], -negn))
+        left, right = best
+        merged = left + right
+        touched: set[tuple[str, str]] = set()
+        for i in index.pop(best, set()):
+            s, c = syms[i], counts[i]
+            for p in zip(s, s[1:]):  # retract the word's old pairs
+                n = stats.get(p)
+                if n is not None:
+                    if n - c <= 0:
+                        stats.pop(p)
+                    else:
+                        stats[p] = n - c
+                idx = index.get(p)
+                if idx is not None:
+                    idx.discard(i)
+                touched.add(p)
+            out: list[str] = []
+            j = 0
+            while j < len(s):  # greedy left-to-right, same as the UDF
+                if j + 1 < len(s) and s[j] == left and s[j + 1] == right:
+                    out.append(merged)
+                    j += 2
+                else:
+                    out.append(s[j])
+                    j += 1
+            syms[i] = out
+            for p in zip(out, out[1:]):  # add the rewritten pairs
+                stats[p] = stats.get(p, 0) + c
+                index[p].add(i)
+                touched.add(p)
+        stats.pop(best, None)  # fully consumed by the greedy rewrite
+        touched.discard(best)
+        for p in touched:  # refresh heap entries for every changed count
+            n = stats.get(p)
+            if n:
+                heapq.heappush(heap, (-n, p))
+    return merges, {w: syms[i] for i, w in enumerate(words)}
+
+
 def train_bpe(docs: DataFrame, num_merges: int, text_col: str = "text",
-              checkpoint_every: int = 8) -> tuple[list[tuple[str, str]], DataFrame]:
+              checkpoint_every: int = 8,
+              driver_gate: int = DRIVER_VOCAB_GATE,
+              ) -> tuple[list[tuple[str, str]], DataFrame]:
     """Train ``num_merges`` BPE merges: returns (merge list in order,
-    final vocab frame (word, count, syms)). Each round counts pairs
-    over the vocab frame, takes the single best pair (max count, ties
-    broken lexicographically — the deterministic convention), and
-    rewrites the vocab's symbol arrays. The corpus is read once; every
-    round after is vocab-sized. The vocab lineage is truncated with
+    final vocab frame (word, count, syms)). The corpus is read exactly
+    once (the word histogram); everything after is vocab-sized.
+
+    Size-gated execution (round-7 verdict #1): when the vocabulary fits
+    under ``driver_gate`` distinct words (default 5M — metadata-sized;
+    see DRIVER_VOCAB_GATE) the histogram is collected and trained
+    driver-side with the incremental in-memory trainer, producing the
+    byte-identical merge sequence without paying one scheduled Spark
+    round PER merge (~0.1-0.3 s of pure scheduling floor each — hours
+    at a real 32k-merge vocab, independent of data size). Above the
+    gate (or with driver_gate=0, forced in tests) the distributed path
+    runs: each round counts pairs over the vocab frame, takes the
+    single best pair (max count, ties broken lexicographically), and
+    rewrites the vocab's symbol arrays, truncating lineage with
     localCheckpoint every ``checkpoint_every`` rounds (same discipline
-    as neardup_clusters' iterative fixpoint).
+    as neardup_clusters' iterative fixpoint). Driver == distributed
+    merge-sequence equality is pytest-pinned (tests/test_bpe.py).
 
     Not SQL-expressible as one query (iterative, data-dependent);
-    pinned against a pure-Python reference trainer in tests
-    (tests/test_bpe.py) instead of a DuckDB oracle."""
-    vocab = (
-        word_counts(docs, text_col)
-        .withColumn("syms", _initial_symbols())
-        .persist()
-    )
-    vocab.count()  # materialize before the loop
+    pinned against a pure-Python reference trainer in tests; the first
+    3 merge selections are additionally DuckDB-oracled via the
+    bpe_train_first3 driver query."""
+    wc = word_counts(docs, text_col).persist()
+    n_vocab = wc.count()  # materialize before branching/looping
+    if driver_gate and n_vocab <= driver_gate:
+        hist = {r["word"]: r["count"] for r in wc.collect()}
+        wc.unpersist()
+        merges_c, final = _train_bpe_inmem(hist, num_merges)
+        spark = docs.sparkSession
+        vocab = spark.createDataFrame(
+            [(w, hist[w], final[w]) for w in hist],
+            "word string, count long, syms array<string>",
+        )
+        return [(left, right) for left, right, _n in merges_c], vocab
+    vocab = wc.withColumn("syms", _initial_symbols()).persist()
+    vocab.count()
+    wc.unpersist()
     merges: list[tuple[str, str]] = []
     for i in range(num_merges):
         best = (
@@ -171,7 +282,8 @@ def train_bpe(docs: DataFrame, num_merges: int, text_col: str = "text",
 
 def apply_merges(docs: DataFrame, merges: list[tuple[str, str]],
                  id_col: str = "doc_id", text_col: str = "text",
-                 keep_tokens: bool = False) -> DataFrame:
+                 keep_tokens: bool = False, hot_words: int = 0,
+                 keep_cols: list[str] | None = None) -> DataFrame:
     """Encode a corpus with a trained merge list: (id, n_subword_tokens
     [, subword_tokens]) — the apply side of train_bpe, i.e. the EXACT
     subword count corpus_token_budget approximates with its regex
@@ -182,14 +294,25 @@ def apply_merges(docs: DataFrame, merges: list[tuple[str, str]],
     shuffle, nothing leaves the partition. The per-batch word->encoding
     cache exploits Zipf (a few thousand distinct words cover most
     tokens), so the Python kernel runs per DISTINCT word per batch,
-    not per token. (Real deployments swap this seam for a native
-    tokenizer; the pipeline shape — broadcast merge table, stateless
-    projection — is the part that matters at 100 TB.)"""
+    not per token. ``hot_words > 0`` (round-7 verdict #5) additionally
+    precomputes the encodings of the global top-N words (one extra
+    word_topk pass over the corpus, a driver-side dict of N short
+    lists) and ships them once per executor via a Spark broadcast —
+    each batch's cache starts pre-seeded, so on a Zipf corpus the
+    Python encode loop only ever runs on tail words. (Real deployments
+    swap this seam for a native tokenizer; the pipeline shape —
+    broadcast merge table, stateless projection — is the part that
+    matters at 100 TB.)"""
     ranks = {pair: i for i, pair in enumerate(merges)}
+    keep_cols = keep_cols or []  # passed through untouched (zero-join
+    # hand-off of e.g. lang/split/whitespace counts — jobs/prepare_corpus
+    # threads exact subword counts into budget/mixture/packing this way)
     import pyspark.sql.types as T
 
+    by_name = {f.name: f for f in docs.schema.fields}
     out_fields = [
-        next(f for f in docs.schema.fields if f.name == id_col),
+        by_name[id_col],
+        *[by_name[c] for c in keep_cols],
         T.StructField("n_subword_tokens", T.LongType()),
     ]
     if keep_tokens:
@@ -223,9 +346,22 @@ def apply_merges(docs: DataFrame, merges: list[tuple[str, str]],
         cache[word] = syms
         return syms
 
+    bc_hot = None
+    if hot_words and hot_words > 0:
+        hot_cache: dict = {}
+        for r in (
+            word_counts(docs, text_col)
+            .orderBy(F.desc("count"), "word")
+            .limit(hot_words)
+            .collect()
+        ):  # N rows — metadata-sized collect, encoded once driver-side
+            encode_word(r["word"], hot_cache)
+        bc_hot = docs.sparkSession.sparkContext.broadcast(hot_cache)
+
     def run(batches):
+        seed: dict = bc_hot.value if bc_hot is not None else {}
         for pdf in batches:
-            cache: dict = {}
+            cache: dict = dict(seed)
             ids, counts, toks = [], [], []
             for did, text in zip(pdf[id_col], pdf[text_col]):
                 words = str(text).lower().split() if text is not None else []
@@ -238,9 +374,13 @@ def apply_merges(docs: DataFrame, merges: list[tuple[str, str]],
                 counts.append(len(enc))
                 if keep_tokens:
                     toks.append(enc)
-            data = {id_col: ids, "n_subword_tokens": counts}
+            data = {id_col: ids,
+                    # positional (not index-aligned) passthrough
+                    **{c: list(pdf[c]) for c in keep_cols},
+                    "n_subword_tokens": counts}
             if keep_tokens:
                 data["subword_tokens"] = toks
             yield pd.DataFrame(data)
 
-    return docs.select(id_col, text_col).mapInPandas(run, schema=schema)
+    return docs.select(id_col, text_col, *keep_cols).mapInPandas(
+        run, schema=schema)

@@ -106,6 +106,73 @@ def test_train_bpe_matches_reference(spark):
     vocab.unpersist()
 
 
+def test_train_bpe_driver_path_equals_distributed(spark):
+    """The size-gated driver-side trainer (round-7 verdict #1) and the
+    per-round distributed path (forced with driver_gate=0) produce the
+    SAME merge sequence and the SAME final vocab on the same corpus."""
+    merges_d, vocab_d = bpe.train_bpe(_docs(spark), num_merges=8)
+    merges_x, vocab_x = bpe.train_bpe(_docs(spark), num_merges=8,
+                                      driver_gate=0)
+    assert merges_d == merges_x
+    as_map = lambda v: {  # noqa: E731
+        r["word"]: (r["count"], tuple(r["syms"])) for r in v.collect()}
+    assert as_map(vocab_d) == as_map(vocab_x)
+    vocab_x.unpersist()
+
+
+def test_inmem_trainer_matches_naive_on_random_corpus():
+    """The incremental heap+inverted-index in-memory trainer is
+    byte-identical to the naive recount-every-round reference on a
+    randomized corpus (tie-heavy alphabet, enough merges to exhaust
+    many words), including the per-merge selection counts."""
+    import random
+
+    rng = random.Random(20260818)
+    wc: dict[str, int] = {}
+    for _ in range(400):
+        w = "".join(rng.choice("abcde") for _ in range(rng.randint(1, 7)))
+        wc[w] = wc.get(w, 0) + rng.randint(1, 9)
+    n = 120
+    got, final = bpe._train_bpe_inmem(wc, n)
+    ref_merges, _ = _ref_bpe(wc, n)
+    assert [(left, right) for left, right, _c in got] == ref_merges
+    # selection counts: recompute the naive pair count at each round
+    vocab = {w: list(w) + [bpe.END_OF_WORD] for w in wc}
+    for left, right, cnt in got:
+        naive = 0
+        for w, s in vocab.items():
+            for a, b in zip(s, s[1:]):
+                if (a, b) == (left, right):
+                    naive += wc[w]
+        assert naive == cnt, (left, right)
+        for w, s in vocab.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == (left, right):
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            vocab[w] = out
+    assert {w: tuple(s) for w, s in vocab.items()} == {
+        w: tuple(s) for w, s in final.items()}
+
+
+def test_apply_merges_hot_word_cache_identical(spark):
+    """hot_words pre-seeding (broadcast top-N encodings) changes the
+    execution path, never the output."""
+    merges, vocab = bpe.train_bpe(_docs(spark), num_merges=8)
+    vocab.unpersist()
+    base = bpe.apply_merges(_docs(spark), merges, keep_tokens=True)
+    hot = bpe.apply_merges(_docs(spark), merges, keep_tokens=True,
+                           hot_words=3)
+    as_map = lambda df: {  # noqa: E731
+        r["doc_id"]: (r["n_subword_tokens"], tuple(r["subword_tokens"]))
+        for r in df.collect()}
+    assert as_map(base) == as_map(hot)
+
+
 def test_merge_candidates_plan_discipline(spark):
     """The query path is pure JVM (no Python eval), aggregates before
     ordering, and the top-N is a TakeOrderedAndProject — never a
