@@ -1696,6 +1696,45 @@ SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS est_jaccard FROM prefix_pairs
 """
 
 
+def q_crosscorpus_neardup(spark, sf_dir):
+    """Cross-corpus INCREMENTAL dedup (round-7 verdict next-round #4):
+    the standing corpus (even doc_ids, prefix corpus) is persisted ONCE
+    as a banded MinHash index (dedup.build_minhash_index — the analog
+    of the persisted IVF cells); this week's ingest (odd doc_ids) then
+    probes it with dedup.pairs_against_index — ONE (band, bucket)
+    equi-join whose streamed side is only the batch. Within-index
+    (even×even) pairs are never re-emitted, and the standing corpus is
+    never re-paired against itself. Oracle: identical prefixes give
+    identical signatures (collide in every band, est_jaccard exactly
+    1.0) and no non-identical pair clears 0.9 (the q_minhash_lsh_pairs
+    argument, verified at sf0.01/sf0.1) — so the result is exactly the
+    odd×even identical-prefix join. Index cached per-SF keyed on the
+    source file's mtime+size (same discipline as the IVF queries)."""
+    import glob
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias("text"),
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    path = (f"/tmp/spark_graft_mh_idx_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_{st.st_mtime_ns}_{st.st_size}")
+    if not glob.glob(os.path.join(path, "manifest.json")):
+        dedup.build_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    return dedup.pairs_against_index(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 1), threshold=0.9)
+
+
+SQL_CROSSCORPUS_NEARDUP = _PREFIX_PAIRS_CTE + """
+SELECT n.doc_id AS id_new, i.doc_id AS id_indexed,
+       CAST(1.0 AS DOUBLE) AS est_jaccard
+FROM pref n JOIN pref i ON n.k = i.k
+WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+"""
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """Exact n-gram-Jaccard near-dup pairs on the first-8-word prefix
     corpus (same corpus as minhash_lsh_pairs — identical prefixes give
@@ -3638,6 +3677,70 @@ LIMIT 50
 """
 
 
+# ------------------------------------------------ BPE trainer, first 3
+
+
+def q_bpe_train_first3(spark, sf_dir):
+    """First 3 BPE merge SELECTIONS (bpe.train_merges_df → the
+    size-gated trainer of train_bpe): (merge_idx, left_sym, right_sym,
+    pair_count at selection time). Puts the trainer's iterative
+    selection logic itself — not just round-1 counts — under the DuckDB
+    oracle (round-7 verdict #8): the oracle runs 3 chained
+    count→select→rewrite rounds. The greedy left-to-right
+    non-overlapping BPE rewrite is expressed as ONE string replace()
+    per round over a bracketed-symbol encoding: every symbol is
+    rendered \\x1e sym \\x1f, so replace('\\x1eL\\x1f\\x1eR\\x1f' →
+    '\\x1eLR\\x1f') has exactly the trainer's merge semantics (string
+    replace scans left-to-right and never re-matches inside a
+    replacement — e.g. [a,a,a] → [aa,a], never [a,aa]), and symbol
+    boundaries can't false-match inside multi-char symbols. Ties break
+    (count desc, left, right) — binary UTF-8 collation on both
+    engines. The sentinel bytes \\x1e/\\x1f never occur in the corpus
+    (whitespace-split printable text)."""
+    from .operators import bpe
+    return bpe.train_merges_df(_t(spark, sf_dir, "documents"),
+                               num_merges=3)
+
+
+def _bpe_sql_first3() -> str:
+    O, C = "\x1e", "\x1f"  # noqa: E741 — symbol open/close sentinels
+    cte = r"""
+WITH words AS (
+  SELECT w AS word, count(*) AS cnt FROM (
+    SELECT unnest(string_split(trim(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents WHERE length(trim(text)) > 0
+  ) WHERE w <> '' AND length(w) <= 100
+  GROUP BY w
+), r0 AS (
+  SELECT regexp_replace(word, '(.)', '{O}\1{C}', 'g') || '{O}</w>{C}' AS repr, cnt
+  FROM words
+)"""
+    for k in (1, 2, 3):
+        cte += """, p{k} AS (
+  SELECT s[i] AS l, s[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS n
+  FROM (SELECT regexp_extract_all(repr, '{O}([^{C}]+){C}', 1) AS s, cnt
+        FROM r{j}) t,
+       LATERAL (SELECT unnest(generate_series(1, len(s) - 1)) AS i) g
+  GROUP BY 1, 2
+), b{k} AS (
+  SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1
+), r{k} AS (
+  SELECT replace(repr,
+                 (SELECT '{O}' || l || '{C}' || '{O}' || r || '{C}' FROM b{k}),
+                 (SELECT '{O}' || l || r || '{C}' FROM b{k})) AS repr, cnt
+  FROM r{j}
+)""".replace("{k}", str(k)).replace("{j}", str(k - 1))
+    cte += """
+SELECT CAST(1 AS INTEGER) AS merge_idx, l AS left_sym, r AS right_sym, n AS pair_count FROM b1
+UNION ALL SELECT CAST(2 AS INTEGER), l, r, n FROM b2
+UNION ALL SELECT CAST(3 AS INTEGER), l, r, n FROM b3
+"""
+    return cte.replace("{O}", O).replace("{C}", C)
+
+
+SQL_BPE_TRAIN_FIRST3 = _bpe_sql_first3()
+
+
 # Registry order IS the driver-verification order: the driver checks
 # the FIRST 50 entries (DRIVER_WINDOW) each round. QUERIES_HEAD holds
 # EXACTLY the window (len-asserted by
@@ -3776,6 +3879,8 @@ QUERIES_PARKED = {
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
     "ivf_topk_quantized": (q_ivf_topk_quantized, SQL_IVF_TOPK_QUANTIZED),
     "split_leakage_audit": (q_split_leakage_audit, SQL_SPLIT_LEAKAGE_AUDIT),
+    "bpe_train_first3": (q_bpe_train_first3, SQL_BPE_TRAIN_FIRST3),
+    "crosscorpus_neardup": (q_crosscorpus_neardup, SQL_CROSSCORPUS_NEARDUP),
 }
 
 QUERIES = {**QUERIES_HEAD, **QUERIES_PARKED}

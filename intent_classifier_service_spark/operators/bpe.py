@@ -240,6 +240,35 @@ def train_bpe(docs: DataFrame, num_merges: int, text_col: str = "text",
     pinned against a pure-Python reference trainer in tests; the first
     3 merge selections are additionally DuckDB-oracled via the
     bpe_train_first3 driver query."""
+    merges_full, vocab = _train_full(
+        docs, num_merges, text_col, checkpoint_every, driver_gate)
+    return [(left, right) for left, right, _n in merges_full], vocab
+
+
+def train_merges_df(docs: DataFrame, num_merges: int = 3,
+                    text_col: str = "text",
+                    driver_gate: int = DRIVER_VOCAB_GATE) -> DataFrame:
+    """The trainer's merge SELECTIONS as a frame: (merge_idx 1-based,
+    left_sym, right_sym, pair_count at selection time) — the queryable
+    face of train_bpe, used by the bpe_train_first3 driver query to put
+    the selection logic itself under the DuckDB oracle (k chained
+    greedy-rewrite rounds are SQL-expressible for small k). Runs the
+    same size-gated trainer; the result is merge-count-sized."""
+    merges_full, vocab = _train_full(docs, num_merges, text_col, 8,
+                                     driver_gate)
+    vocab.unpersist()  # no-op on the (unpersisted) driver-path frame
+    return docs.sparkSession.createDataFrame(
+        [(i + 1, left, right, n)
+         for i, (left, right, n) in enumerate(merges_full)],
+        "merge_idx int, left_sym string, right_sym string, pair_count long",
+    )
+
+
+def _train_full(docs: DataFrame, num_merges: int, text_col: str,
+                checkpoint_every: int, driver_gate: int,
+                ) -> tuple[list[tuple[str, str, int]], DataFrame]:
+    """Shared trainer body: ([(left, right, pair_count_at_selection)],
+    final vocab frame). See train_bpe for the size-gate contract."""
     wc = word_counts(docs, text_col).persist()
     n_vocab = wc.count()  # materialize before branching/looping
     if driver_gate and n_vocab <= driver_gate:
@@ -251,11 +280,11 @@ def train_bpe(docs: DataFrame, num_merges: int, text_col: str = "text",
             [(w, hist[w], final[w]) for w in hist],
             "word string, count long, syms array<string>",
         )
-        return [(left, right) for left, right, _n in merges_c], vocab
+        return merges_c, vocab
     vocab = wc.withColumn("syms", _initial_symbols()).persist()
     vocab.count()
     wc.unpersist()
-    merges: list[tuple[str, str]] = []
+    merges: list[tuple[str, str, int]] = []
     for i in range(num_merges):
         best = (
             pair_counts(vocab)
@@ -266,7 +295,7 @@ def train_bpe(docs: DataFrame, num_merges: int, text_col: str = "text",
         if not best:
             break
         left, right = best[0]["left_sym"], best[0]["right_sym"]
-        merges.append((left, right))
+        merges.append((left, right, int(best[0]["pair_count"])))
         new_vocab = vocab.withColumn(
             "syms", _merge_pair_in_syms(left, right)(F.col("syms"))
         )

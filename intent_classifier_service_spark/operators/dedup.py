@@ -376,26 +376,22 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(F.col(id_col).alias("id"), mh(sh_hashes).alias("sig"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", num_hashes: int = 64,
-                      bands: int = 16, shingle_n: int = 3,
-                      threshold: float = 0.7, seed: int = 42) -> DataFrame:
-    """Near-duplicate pairs (id_a, id_b, est_jaccard ≥ threshold).
-
-    sig → bands of r=num_hashes/bands rows; bucket key = hash(band,
-    slice); candidates = pairs sharing ≥1 bucket; verify with the
-    signature-level Jaccard estimate (fraction of equal minhashes) —
-    at scale the verify happens on 8-byte×num_hashes arrays, not texts.
-    """
+def _banded_signatures(docs: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int, bands: int, shingle_n: int,
+                       seed: int) -> DataFrame:
+    """(id, sig, band, bucket): MinHash signatures exploded into their
+    LSH band buckets — the shared candidate-key frame of
+    minhash_lsh_pairs (self-join) and the persisted cross-corpus index
+    (build/append/probe join). Docs with NO shingles (null text — short
+    texts fall back to a whole-text shingle, so only null/absent text
+    qualifies) all share the sentinel signature: two *distinct* such
+    docs would collide in every band with est_jaccard 1.0, a false
+    positive. Shingle-Jaccard is undefined on empty sets, so they are
+    excluded here."""
     r = num_hashes // bands
-    # Docs with NO shingles (null text — short texts fall back to a
-    # whole-text shingle, so only null/absent text qualifies) all share
-    # the sentinel signature: two *distinct* such docs would collide in
-    # every band with est_jaccard 1.0, a false positive. Shingle-
-    # Jaccard is undefined on empty sets, so they are excluded here.
     docs = docs.filter(F.size(shingles(text_col, shingle_n)) > 0)
     sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed)
-    banded = sigs.select(
+    return sigs.select(
         "id",
         "sig",
         F.posexplode(
@@ -410,6 +406,34 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band", "bucket"),
     )
+
+
+def _sig_jaccard_est(sig_a="sig_a", sig_b="sig_b", num_hashes: int = 64):
+    """Signature-level Jaccard estimate: fraction of equal minhashes."""
+    return (
+        F.size(
+            F.filter(
+                F.zip_with(sig_a, sig_b, lambda x, y: (x == y).cast("int")),
+                lambda e: e == 1,
+            )
+        )
+        / F.lit(num_hashes)
+    )
+
+
+def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", num_hashes: int = 64,
+                      bands: int = 16, shingle_n: int = 3,
+                      threshold: float = 0.7, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs (id_a, id_b, est_jaccard ≥ threshold).
+
+    sig → bands of r=num_hashes/bands rows; bucket key = hash(band,
+    slice); candidates = pairs sharing ≥1 bucket; verify with the
+    signature-level Jaccard estimate (fraction of equal minhashes) —
+    at scale the verify happens on 8-byte×num_hashes arrays, not texts.
+    """
+    banded = _banded_signatures(
+        docs, id_col, text_col, num_hashes, bands, shingle_n, seed)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -427,18 +451,143 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = (
-        F.size(
-            F.filter(
-                F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
-                lambda e: e == 1,
-            )
-        )
-        / F.lit(num_hashes)
-    )
+    est = _sig_jaccard_est(num_hashes=num_hashes)
     return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
         F.col("est_jaccard") >= threshold
     )
+
+
+# ----------------------------------- cross-corpus incremental dedup
+#
+# The missing shape at 100 TB with CONTINUOUS ingest (round-7 verdict
+# #2/next-round #4): every pair generator above self-joins the corpus
+# it is given, so "dedup this week's ingest against the standing
+# corpus" would re-pair the whole corpus each run. Instead, persist the
+# banded MinHash signatures ONCE (the same way similarity.py persists
+# IVF cells), then each ingest batch (a) probes the index with ONE
+# equi-join whose streamed side is only the batch, and (b) appends its
+# own signatures — the standing corpus is never re-scanned and
+# within-index pairs are never re-emitted.
+
+
+def _read_mh_manifest(path: str) -> dict:
+    import json
+    import os
+
+    with open(os.path.join(path, "manifest.json")) as f:
+        return json.load(f)
+
+
+def _write_mh_manifest(path: str, params: dict, n_docs: int,
+                       n_appends: int, append_counts: list[int]) -> dict:
+    import json
+    import os
+
+    manifest = {**params, "n_docs": int(n_docs),
+                "n_appends": int(n_appends),
+                "append_counts": [int(c) for c in append_counts]}
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def build_minhash_index(docs: DataFrame, path: str,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        num_hashes: int = 64, bands: int = 16,
+                        shingle_n: int = 3, seed: int = 42) -> dict:
+    """Persist the standing corpus' banded MinHash signatures as a
+    probe-able index: parquet (id, sig, bucket) partitioned by band
+    under ``path``/bands, plus manifest.json carrying the signature
+    parameters (so probes/appends can never mix incompatible hash
+    families — they re-derive signatures FROM the manifest) and the
+    running doc counts. One corpus scan; the write shuffles nothing
+    (partitionBy on 16 band values of an already-exploded frame).
+    Returns the manifest."""
+    import os
+
+    banded = _banded_signatures(
+        docs, id_col, text_col, num_hashes, bands, shingle_n, seed)
+    banded.write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(path, "bands"))
+    spark = docs.sparkSession
+    n_docs = (
+        spark.read.parquet(os.path.join(path, "bands"))
+        .select("id").distinct().count()
+    )
+    params = {"num_hashes": num_hashes, "bands": bands,
+              "shingle_n": shingle_n, "seed": seed,
+              "id_col": id_col, "text_col": text_col}
+    return _write_mh_manifest(path, params, n_docs, 0, [])
+
+
+def pairs_against_index(spark, path: str, new_docs: DataFrame,
+                        threshold: float = 0.7) -> DataFrame:
+    """Near-dup pairs between an ingest batch and the PERSISTED index:
+    (id_new, id_indexed, est_jaccard ≥ threshold). The batch's banded
+    signatures (parameters from the manifest — never caller-supplied,
+    so they can't diverge from the index) equi-join the index's band
+    table on (band, bucket); the signature-level Jaccard verify runs on
+    the 8-byte×num_hashes arrays. Within-index pairs are NOT re-emitted
+    — one side of the join is always the batch — and a re-ingested id
+    never pairs with itself. Scale shape: the standing corpus is read
+    but never re-paired against itself (candidate row count is bounded
+    by batch collisions, not |index|²); the streamed side is
+    batch-sized."""
+    import os
+
+    m = _read_mh_manifest(path)
+    banded_new = _banded_signatures(
+        new_docs, m["id_col"], m["text_col"], m["num_hashes"],
+        m["bands"], m["shingle_n"], m["seed"])
+    idx = spark.read.parquet(os.path.join(path, "bands"))
+    n = banded_new.alias("n")
+    i = idx.alias("i")
+    cand = (
+        n.join(
+            i,
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket"))
+            & (F.col("n.id") != F.col("i.id")),
+        )
+        .select(
+            F.col("n.id").alias("id_new"),
+            F.col("i.id").alias("id_indexed"),
+            F.col("n.sig").alias("sig_a"),
+            F.col("i.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_new", "id_indexed"])
+    )
+    est = _sig_jaccard_est(num_hashes=m["num_hashes"])
+    return cand.select("id_new", "id_indexed",
+                       est.alias("est_jaccard")).filter(
+        F.col("est_jaccard") >= threshold
+    )
+
+
+def append_to_minhash_index(spark, path: str,
+                            new_docs: DataFrame) -> dict:
+    """Fold an ingest batch into the persisted index: append its banded
+    signatures into the band partitions (parquet append — no rewrite of
+    the standing corpus' files) and bump the manifest's counts. The
+    normal cadence is pairs_against_index(batch) → drop/survivor-select
+    → append_to_minhash_index(kept batch). Returns the updated
+    manifest."""
+    import os
+
+    m = _read_mh_manifest(path)
+    banded = _banded_signatures(
+        new_docs, m["id_col"], m["text_col"], m["num_hashes"],
+        m["bands"], m["shingle_n"], m["seed"]).persist()
+    n_new = banded.select("id").distinct().count()
+    banded.write.mode("append").partitionBy("band").parquet(
+        os.path.join(path, "bands"))
+    banded.unpersist()
+    params = {k: m[k] for k in (
+        "num_hashes", "bands", "shingle_n", "seed", "id_col", "text_col")}
+    return _write_mh_manifest(
+        path, params, m["n_docs"] + n_new, m["n_appends"] + 1,
+        m["append_counts"] + [n_new])
 
 
 # -------------------------------------------------- decontamination

@@ -385,3 +385,48 @@ def test_neardup_clusters_random_graph_matches_bfs(spark):
             for r in dedup.neardup_clusters(
                 pairs, driver_edge_threshold=0).collect()}
     assert dist == truth
+
+
+def test_minhash_index_lifecycle(spark, tmp_path):
+    """Cross-corpus incremental dedup: build the banded index over the
+    standing corpus, probe it with an ingest batch (cross-batch dup
+    found; within-index pairs never re-emitted; a re-ingested id never
+    pairs with itself), append the batch, then probe a second batch
+    that matches ONLY an appended doc — visible iff the append landed.
+    Manifest running counts checked at every step."""
+    old = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different standing document about engines"),
+         (3, "yet another unrelated corpus document with words")],
+        "doc_id long, text string")
+    path = str(tmp_path / "mh_idx")
+    m = dedup.build_minhash_index(old, path)
+    assert (m["n_docs"], m["n_appends"], m["append_counts"]) == (3, 0, [])
+
+    batch1 = spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+         (12, "completely novel ingest text nothing like the corpus"),
+         (2, "an entirely different standing document about engines")],
+        "doc_id long, text string")  # id 2 re-ingested verbatim
+    pairs = dedup.pairs_against_index(spark, path, batch1, threshold=0.9)
+    got = {(r["id_new"], r["id_indexed"]): r["est_jaccard"]
+           for r in pairs.collect()}
+    # cross-batch dup found at est 1.0; NO within-index (old x old)
+    # pair; re-ingested id 2 never pairs with itself
+    assert set(got) == {(11, 1)} and got[(11, 1)] == 1.0
+
+    kept = batch1.filter(F.col("doc_id") > 10)  # survivor policy: drop
+    # nothing, append only genuinely-new ids (the caller's choice)
+    m2 = dedup.append_to_minhash_index(spark, path, kept)
+    assert (m2["n_docs"], m2["n_appends"], m2["append_counts"]) == (5, 1, [2])
+
+    batch2 = spark.createDataFrame(
+        [(21, "completely novel ingest text nothing like the corpus")],
+        "doc_id long, text string")  # dup of APPENDED doc 12 only
+    got2 = {(r["id_new"], r["id_indexed"])
+            for r in dedup.pairs_against_index(
+                spark, path, batch2, threshold=0.9).collect()}
+    assert got2 == {(21, 12)}
+
+    m3 = dedup.append_to_minhash_index(spark, path, batch2)
+    assert (m3["n_docs"], m3["n_appends"], m3["append_counts"]) == (6, 2, [2, 1])

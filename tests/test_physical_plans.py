@@ -159,6 +159,13 @@ def test_pair_generators_never_cartesian(spark):
     # the shingle df-cap pre-pass rides in as a semi-join
     assert "LeftSemi" in p
 
+    # the cross-corpus index probe is the same discipline: ONE
+    # (band, bucket) equi-join between the batch and the persisted
+    # index; the id inequality must ride as a post-join filter, never
+    # demote the join to a nested loop
+    p = _plan(DQ.q_crosscorpus_neardup(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
 
 def test_cluster_resolution_equi_joins_only(spark):
     """Hash-min label propagation must be equi-joins + groupBy.min:
