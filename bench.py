@@ -111,6 +111,52 @@ def _q_pack_1m(spark, sf_dir):
     return packed
 
 
+def _prep_docs_path(spark, n_docs: int) -> str:
+    """Materialize a deterministic synthetic TEXT corpus for the e2e
+    prepare_corpus bench (round-7 verdict #6): n_docs rows of
+    (doc_id, text, lang) with 30-80 words drawn from a 1000-word pool
+    via xxhash64 chaining (ANSI-safe), ~2% planted exact dups
+    (doc_id % 50 == 1 copies doc_id-1) and ~1% near dups
+    (doc_id % 97 == 3 copies doc_id-1 plus one extra word), lang skewed
+    50/30/10/10 over en/de/fr/zh. Cached across runs."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    path = f"/tmp/spark_graft_prep_docs_{n_docs}.parquet"
+    if not glob.glob(os.path.join(path, "_SUCCESS")):
+        src = (
+            F.when(F.col("doc_id") % 50 == 1, F.col("doc_id") - 1)
+            .when(F.col("doc_id") % 97 == 3, F.col("doc_id") - 1)
+            .otherwise(F.col("doc_id"))
+        )
+        base = spark.range(n_docs).select(
+            F.col("id").alias("doc_id")
+        ).withColumn("src", src)
+        wlen = F.pmod(F.xxhash64("src", F.lit(0)), F.lit(51)) + 30
+        words = F.transform(
+            F.sequence(F.lit(1), wlen),
+            lambda i: F.concat(
+                F.lit("w"),
+                F.pmod(F.xxhash64(F.col("src"), i), F.lit(1000))
+                .cast("string")),
+        )
+        text = F.when(
+            F.col("doc_id") % 97 == 3,
+            F.concat(F.array_join(words, " "), F.lit(" extradupword")),
+        ).otherwise(F.array_join(words, " "))
+        lang_idx = F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(10))
+        lang = (
+            F.when(lang_idx < 5, F.lit("en"))
+            .when(lang_idx < 8, F.lit("de"))
+            .when(lang_idx < 9, F.lit("fr"))
+            .otherwise(F.lit("zh"))
+        )
+        base.select("doc_id", text.alias("text"), lang.alias("lang")) \
+            .repartition(32).write.mode("overwrite").parquet(path)
+    return path
+
+
 def _read_proc_stat() -> tuple[int, int]:
     """(cumulative steal ticks, cumulative total ticks) from the
     aggregate cpu line of /proc/stat."""
@@ -252,6 +298,37 @@ def run_bench(sf_dir: str, cpus: int | None = None, query_runs: int = 2) -> dict
           f"({n_docs} docs, {n_viol} violations, {docs_per_sec} docs/s)",
           file=sys.stderr)
 
+    # e2e corpus-preparation throughput (round-7 verdict #6): the
+    # composed quality→dedup→split→budget→pack pipeline on a 100k-doc
+    # synthetic corpus with planted exact + near dups, min-of-2 with
+    # the same per-sample host stamps; per-stage wall breakdown comes
+    # from the job's own stage_secs (best run reported)
+    n_prep = 100_000
+    from jobs import prepare_corpus as _prep
+
+    prep_path = _prep_docs_path(spark, n_prep)  # materialize untimed
+    prep_sec, prep_summary = float("inf"), {}
+    for _ in range(2):
+        load1 = round(os.getloadavg()[0], 1)
+        stat0 = _read_proc_stat()
+        t0 = time.time()
+        s = _prep.run(
+            spark, spark.read.parquet(prep_path),
+            "/tmp/spark_graft_prep_out", max_tokens=2048, neardup=True)
+        sec = time.time() - t0
+        samples.setdefault("prepare_corpus_100k", []).append(
+            [round(sec, 3), load1,
+             _steal_pct(stat0, _read_proc_stat()), _cpu_mhz()])
+        if sec < prep_sec:
+            prep_sec, prep_summary = sec, s
+            load_at_min["prepare_corpus_100k"] = load1
+    prep_sec = round(prep_sec, 3)
+    timings["prepare_corpus_100k"] = prep_sec
+    prep_docs_per_sec = round(n_prep / prep_sec, 1)
+    print(f"  prepare_corpus_100k: {prep_sec}s ({prep_docs_per_sec} "
+          f"docs/s, stages {prep_summary.get('stage_secs')})",
+          file=sys.stderr)
+
     spark.stop()
     return {
         "metric": "validated docs/sec (full rule-set) + headline query secs",
@@ -261,6 +338,8 @@ def run_bench(sf_dir: str, cpus: int | None = None, query_runs: int = 2) -> dict
         "sf": sf_dir,
         "n_bench_docs": n_docs,
         "docs_per_sec": docs_per_sec,
+        "prep_docs_per_sec": prep_docs_per_sec,
+        "prep_stage_secs": prep_summary.get("stage_secs"),
         "load_at_min": load_at_min,
         "samples_sec_load": samples,
         **_summary_vs_baseline(timings),

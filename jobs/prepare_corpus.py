@@ -13,6 +13,11 @@ job is the wiring):
     → near-dup dedup            (minhash LSH pairs → clusters → survivor)
     → leakage-safe split        (cluster-keyed hash split: a train doc's
                                  near-copy can never land in eval)
+    → optional tokenizer train  (--bpe-merges: BPE merges trained on
+                                 the train split; budget/mixture/packing
+                                 then run on EXACT subword counts, and
+                                 the merge table persists to
+                                 output/tokenizer)
     → token budget report       (docs + whitespace/subword tokens per
                                  (lang, split) — parquet + summary)
     → optional token mixture    (--mixture: train split resampled to a
@@ -55,7 +60,7 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from intent_classifier_service_spark.operators import (  # noqa: E402
-    dedup, packing, sampling, textstats)
+    bpe, dedup, packing, sampling, textstats)
 from intent_classifier_service_spark.session import get_spark  # noqa: E402
 
 
@@ -77,14 +82,29 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
         para_min_chars: int | None = None,
         strip_windows: bool = False,
         window_k: int = 8,
-        min_run_tokens: int = 50) -> dict:
+        min_run_tokens: int = 50,
+        bpe_merges: int | None = None,
+        bpe_hot_words: int = 512) -> dict:
     """The pipeline over a (doc_id, text, lang, ...) frame. Returns the
     summary dict (also what main() prints)."""
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
     t0 = time.time()
     summary: dict = {}
+    # per-stage wall clock (round-7 verdict #6): stamped at each
+    # action boundary, so a stage's figure includes the lazy upstream
+    # work its first action forces — attribution is by-action, the
+    # honest grain for a lazy engine
+    stages: dict[str, float] = {}
+    _last = [t0]
+
+    def _stage(name: str) -> None:
+        now = time.time()
+        stages[name] = round(stages.get(name, 0.0) + now - _last[0], 3)
+        _last[0] = now
+
     n_in = docs.count()
     summary["n_input_docs"] = n_in
+    _stage("input_count")
 
     # -- optional cross-doc boilerplate strip (text rewritten) ---------
     if para_min_chars is not None:
@@ -110,6 +130,7 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
             docs.select("doc_id", "text", "lang"),
             k=window_k, min_run_tokens=min_run_tokens, cuts=cuts,
         ).join(docs.drop("text"), "doc_id")
+        _stage("strip_windows")
 
     # -- quality gate ---------------------------------------------------
     if min_quality is not None:
@@ -117,12 +138,14 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
         kept = docs.filter(F.col("_q") >= min_quality).drop("_q")
         summary["n_quality_dropped"] = n_in - kept.count()
         docs = kept
+        _stage("quality_gate")
 
     # -- exact dedup (hash of normalized text, min-id survivor) ----------
     exact = dedup.exact_dedup(docs)
     n_exact = exact.count()
     summary["n_exact_dup_dropped"] = (
         n_in - summary.get("n_quality_dropped", 0) - n_exact)
+    _stage("exact_dedup")
 
     # -- near-dup dedup + clusters (clusters also key the split) ---------
     clusters = None
@@ -131,6 +154,7 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
         clusters = dedup.neardup_clusters(pairs)
         deduped = dedup.neardup_dedup(exact, pairs)
         summary["n_neardup_dropped"] = n_exact - deduped.count()
+        _stage("neardup_dedup")
     else:
         deduped = exact
 
@@ -140,13 +164,48 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
     else:
         split_docs = sampling.hash_split(deduped, splits)
 
-    corpus = split_docs.select(
-        "doc_id", "lang", "split",
-        textstats.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    base = split_docs.select(
+        "doc_id", "text", "lang", "split",
+        textstats.token_count(F.col("text")).cast("long")
+        .alias("n_ws_tokens"),
         textstats.subword_estimate("text").cast("long")
         .alias("est_subword_tokens"),
-    ).persist()  # feeds budget + mixture + packing (3 actions)
+    )
+    if bpe_merges:
+        # -- exact subword counts drive the whole downstream chain
+        # (round-7 verdict next-round #3): train a BPE tokenizer on the
+        # TRAIN split only (eval text never shapes the vocab), encode
+        # every split with it, and let n_tokens = the EXACT subword
+        # count — budget, mixture quotas, and packing then all run in
+        # the unit training budgets are actually stated in, instead of
+        # the whitespace/regex estimates. The merge table is persisted
+        # next to the corpus so the training run uses the same
+        # tokenizer artifact.
+        merges, vocab = bpe.train_bpe(
+            base.filter(F.col("split") == train_split)
+            .select("doc_id", "text"),
+            num_merges=bpe_merges)
+        vocab.unpersist()
+        spark.createDataFrame(
+            [(i, left, right) for i, (left, right) in enumerate(merges)],
+            "rank int, left string, right string",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(output, "tokenizer"))
+        summary["n_tokenizer_merges"] = len(merges)
+        _stage("tokenizer_train")
+        corpus = bpe.apply_merges(
+            base, merges,
+            keep_cols=["lang", "split", "n_ws_tokens",
+                       "est_subword_tokens"],
+            hot_words=bpe_hot_words,
+        ).withColumn("n_tokens", F.col("n_subword_tokens")) \
+            .drop("n_subword_tokens")
+    else:
+        corpus = base.drop("text").withColumnRenamed(
+            "n_ws_tokens", "n_tokens")
+    corpus = corpus.persist()  # feeds budget + mixture + packing
     corpus.write.mode("overwrite").parquet(os.path.join(output, "corpus"))
+    _stage("split_tokenize_corpus_write")
 
     # -- token budget report ---------------------------------------------
     budget = corpus.groupBy("lang", "split").agg(
@@ -160,6 +219,7 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
         for r in corpus.groupBy("split").agg(F.sum("n_tokens").alias("t"))
         .collect()
     }
+    _stage("budget")
 
     # -- train selection (optional token-grain mixture) -------------------
     train = corpus.filter(F.col("split") == train_split)
@@ -174,6 +234,7 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
             for r in train.groupBy("lang").agg(F.sum("n_tokens").alias("t"))
             .collect()
         }
+        _stage("mixture")
 
     # -- pack train docs into fixed-budget sequences ----------------------
     packed, overflow = packing.pack_greedy(train, max_tokens)
@@ -204,12 +265,14 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
         F.avg("fill_ratio").alias("mean_fill"),
         F.sum("n_docs").alias("n_packed_units"),
     ).collect()[0]
+    _stage("pack")
     summary.update({
         "n_sequences": seq_stats["n_seq"],
         "packed_tokens": seq_stats["packed_tokens"],
         "mean_fill": round(seq_stats["mean_fill"], 4),
         "n_overflow_docs_chunked": overflow.count(),
         "max_tokens": max_tokens,
+        "stage_secs": stages,
         "wall_sec": round(time.time() - t0, 3),
     })
     corpus.unpersist()
@@ -239,6 +302,14 @@ def main() -> int:
                          "cut audit written to output/substring_cuts")
     ap.add_argument("--window-k", type=int, default=8)
     ap.add_argument("--min-run-tokens", type=int, default=50)
+    ap.add_argument("--bpe-merges", type=int, default=None,
+                    help="train a BPE tokenizer (N merges) on the train "
+                         "split and run budget/mixture/packing on EXACT "
+                         "subword counts; merge table written to "
+                         "output/tokenizer")
+    ap.add_argument("--bpe-hot-words", type=int, default=512,
+                    help="broadcast precomputed encodings for the top-N "
+                         "corpus words during the encode pass")
     args = ap.parse_args()
 
     spark = get_spark("prepare_corpus")
@@ -257,6 +328,8 @@ def main() -> int:
         strip_windows=args.strip_dup_windows,
         window_k=args.window_k,
         min_run_tokens=args.min_run_tokens,
+        bpe_merges=args.bpe_merges,
+        bpe_hot_words=args.bpe_hot_words,
     )
     print(json.dumps(summary))
     return 0

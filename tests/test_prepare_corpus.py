@@ -127,3 +127,47 @@ def test_prepare_corpus_strip_windows(spark, tmp_path):
     assert toks[2] == 3   # lead1 lead2 tail4
     assert toks[3] == 1   # lead3
     assert toks[4] == 8
+
+
+def test_prepare_corpus_exact_subword_tokens(spark, tmp_path):
+    """--bpe-merges: budget, mixture, and packing all run on the EXACT
+    subword counts of a tokenizer trained on the train split (round-7
+    verdict next-round #3) — packed_tokens equals the independently
+    recomputed apply_merges total over the train docs, conservation
+    exact; the merge table persists to output/tokenizer."""
+    from intent_classifier_service_spark.operators import bpe
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = str(tmp_path / "prep")
+    summary = prepare_corpus.run(
+        spark, docs, out, max_tokens=96, splits={"train": 1.0},
+        bpe_merges=8, bpe_hot_words=16,
+    )
+    assert summary["n_tokenizer_merges"] == 8
+
+    # the persisted tokenizer artifact reproduces the merge list
+    tok = spark.read.parquet(os.path.join(out, "tokenizer"))
+    merges = [(r["left"], r["right"])
+              for r in tok.orderBy("rank").collect()]
+    assert len(merges) == 8
+
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    # n_tokens IS the exact subword count: recompute independently via
+    # apply_merges over the same corpus rows
+    enc = bpe.apply_merges(
+        docs.join(corpus.select("doc_id"), "doc_id", "left_semi"), merges)
+    expect = {r["doc_id"]: r["n_subword_tokens"] for r in enc.collect()}
+    got = {r["doc_id"]: r["n_tokens"] for r in corpus.collect()}
+    assert got == expect
+    # subword counts dominate whitespace counts (every word >= 1 piece)
+    bad = corpus.filter(F.col("n_tokens") < F.col("n_ws_tokens")).count()
+    assert bad == 0
+
+    # conservation in EXACT subword units: packed == train total
+    train_subword = corpus.agg(F.sum("n_tokens")).collect()[0][0]
+    assert summary["packed_tokens"] == train_subword
+
+    # budget table rolls up the exact counts
+    budget = spark.read.parquet(os.path.join(out, "budget"))
+    assert (budget.agg(F.sum("total_tokens")).collect()[0][0]
+            == train_subword)
