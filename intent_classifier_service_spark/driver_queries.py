@@ -3746,94 +3746,31 @@ SQL_BPE_TRAIN_FIRST3 = _bpe_sql_first3()
 # EXACTLY the window (len-asserted by
 # tests/test_oracle_parity.py::test_driver_window_exactly_filled);
 # QUERIES_PARKED holds the rest, strict-parity-checked every session
-# via tools/strict_parity.py. Round-7 rotation (round-6 verdict #4):
-# the head carries (a) the 6 queries new or changed this round —
-# mixture_sample (two-phase hash-rank quota path + new portable
-# oracle), pack_conservation (multi-batch + Fenwick best-fit kernel),
-# corpus_token_budget (new est_subword_tokens column),
-# split_overflow_chunks / mixture_sample_tokens / mixture_epoch_plan
-# (new operators) — (b) ALL 34 queries parked through rounds 5-6
-# riding r05 rows (the full TPC-H block q2/q7-q12/q14-q20, the ANN
-# trio, the drift PSI/KS family, stratified_sample, text_profile,
-# embedding_stats, the large-dim referential variant, ...), and (c) 10
-# stable r06-green fillers spanning the rule/eval/window families,
-# minus four parked mid-round (dedup_earliest_window,
-# percentiles_lineitem, rollup_orders, sessionize_events — all riding
-# green r06 rows) to make room for (d) the round-7 second-half
-# operators: the substring-window/ExactSubstr family
-# (duplicate_window_stats / duplicate_token_spans / strip_dup_windows)
-# and bpe_merge_candidates. ivf_topk_quantized (also new) sits in
-# PARKED under strict-parity evidence until the next rotation. The
-# parked rows are all r06-driver-green and unchanged this round.
+# via tools/strict_parity.py. Round-8 rotation (round-7 verdict #2):
+# a near-full swap — the head carries (a) the 45 queries whose newest
+# driver rows are r06 (everything parked through round 7: the neardup/
+# minhash family — which also sits on this round's _banded_signatures
+# refactor — the multimodal trio, the span-rule trio, the second
+# TPC-H block q1/q4-q6/q13/q21/q22, eval/sampling/stats fillers, and
+# the round-7 strict-parity-only pair ivf_topk_quantized +
+# split_leakage_audit) plus the two NEW round-8 queries
+# (bpe_train_first3 — the trainer's selection logic under the oracle —
+# and crosscorpus_neardup — the persisted MinHash band index probe),
+# and (b) 5 r07-green queries re-verified because their modules
+# changed this round (bpe.py size-gated trainer refactor; dedup.py
+# banded-signature extraction): bpe_merge_candidates,
+# dedup_exact_prefix, paragraph_dedup, duplicate_window_stats,
+# strip_dup_windows. Everything else parks on fresh r07-green rows.
 DRIVER_WINDOW = 50
 
 QUERIES_HEAD = {
-    # -- (a) new or implementation/oracle changed in round 7 ---------------
-    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
-    "pack_conservation": (q_pack_conservation, SQL_PACK_CONSERVATION),
-    "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
-    "split_overflow_chunks": (q_split_overflow_chunks, SQL_SPLIT_OVERFLOW_CHUNKS),
-    "mixture_sample_tokens": (
-        q_mixture_sample_tokens, SQL_MIXTURE_SAMPLE_TOKENS),
-    "mixture_epoch_plan": (q_mixture_epoch_plan, SQL_MIXTURE_EPOCH_PLAN),
-    # -- (b) everything that rode r05 rows through round 6 -----------------
-    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
-    "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
-    "dedup_exact_prefix": (q_dedup_exact_prefix, SQL_DEDUP_PREFIX),
-    "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
-    "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
-    "drift_psi_event_type": (q_drift_psi_event_type, SQL_DRIFT_PSI),
-    "lsh_topk": (q_lsh_topk, SQL_ANN_PLANTED_TOP1),
-    "ivf_topk": (q_ivf_topk, SQL_ANN_PLANTED_TOP1),
-    "ivf_topk_indexed": (q_ivf_topk_indexed, SQL_IVF_TOPK_INDEXED),
-    "frame_sample_plan": (q_frame_sample_plan, SQL_FRAME_SAMPLE),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
-    "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
-    "text_profile": (q_text_profile, SQL_TEXT_PROFILE),
-    "drift_psi_lang": (q_drift_psi_lang, SQL_DRIFT_PSI_LANG),
-    "drift_ks_quality": (q_drift_ks_quality, SQL_DRIFT_KS_QUALITY),
-    "windowed_drift_psi": (q_windowed_drift_psi, SQL_WINDOWED_DRIFT_PSI),
-    "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
-    "referential_media_refs_large_dim": (
-        q_referential_media_refs_large_dim, SQL_REF_MEDIA),
-    "referential_unknown_event_types": (
-        q_referential_unknown_event_types, SQL_REF_EVENT_TYPES),
-    "eval_subset_accuracy": (q_eval_subset_accuracy, SQL_EVAL_ACC),
-    "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
-    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
-    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
-    "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
-    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
-    "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
-    "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
-    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
-    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
-    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
-    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
-    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
-    "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
-    "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
-    # -- (c) stable r06-green fillers --------------------------------------
-    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
-    "strip_dup_paragraphs": (q_strip_dup_paragraphs, SQL_STRIP_DUP_PARAGRAPHS),
-    "span_rule_verdicts": (q_span_rule_verdicts, SQL_SPAN_VERDICTS),
-    "arrow_span_violations": (q_arrow_span_violations, SQL_ARROW_SPAN),
-    "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
-    "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
-    # -- (d) new in the second half of round 7: substring-window dedup
-    # (two (c) fillers parked to make room; both ride green r06 rows)
-    "duplicate_window_stats": (
-        q_duplicate_window_stats, SQL_DUPLICATE_WINDOW_STATS),
-    "duplicate_token_spans": (
-        q_duplicate_token_spans, SQL_DUPLICATE_TOKEN_SPANS),
-    "strip_dup_windows": (q_strip_dup_windows, SQL_STRIP_DUP_WINDOWS),
-    "bpe_merge_candidates": (
-        q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
-}
-
-# Past the driver window: all r06-driver-green, unchanged this round,
-# strict-parity-verified every session.
-QUERIES_PARKED = {
+    # -- (a) new in round 8 -------------------------------------------------
+    "bpe_train_first3": (q_bpe_train_first3, SQL_BPE_TRAIN_FIRST3),
+    "crosscorpus_neardup": (q_crosscorpus_neardup, SQL_CROSSCORPUS_NEARDUP),
+    # -- (a) round-7 operators that rode strict-parity evidence only -------
+    "ivf_topk_quantized": (q_ivf_topk_quantized, SQL_IVF_TOPK_QUANTIZED),
+    "split_leakage_audit": (q_split_leakage_audit, SQL_SPLIT_LEAKAGE_AUDIT),
+    # -- (a) everything whose newest driver row is r06 ----------------------
     "sessionize_events": (q_sessionize_events, SQL_SESSIONIZE),
     "rollup_orders": (q_rollup_orders, SQL_ROLLUP_ORDERS),
     "percentiles_lineitem": (q_percentiles_lineitem, SQL_PERCENTILES),
@@ -3877,10 +3814,68 @@ QUERIES_PARKED = {
     "column_stats_orders": (q_column_stats_orders, SQL_COLUMN_STATS),
     "hash_split_assign": (q_hash_split_assign, SQL_HASH_SPLIT),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
-    "ivf_topk_quantized": (q_ivf_topk_quantized, SQL_IVF_TOPK_QUANTIZED),
-    "split_leakage_audit": (q_split_leakage_audit, SQL_SPLIT_LEAKAGE_AUDIT),
-    "bpe_train_first3": (q_bpe_train_first3, SQL_BPE_TRAIN_FIRST3),
-    "crosscorpus_neardup": (q_crosscorpus_neardup, SQL_CROSSCORPUS_NEARDUP),
+    # -- (b) r07-green, re-verified: their modules changed this round -------
+    "bpe_merge_candidates": (
+        q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
+    "dedup_exact_prefix": (q_dedup_exact_prefix, SQL_DEDUP_PREFIX),
+    "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
+    "duplicate_window_stats": (
+        q_duplicate_window_stats, SQL_DUPLICATE_WINDOW_STATS),
+    "strip_dup_windows": (q_strip_dup_windows, SQL_STRIP_DUP_WINDOWS),
+}
+
+# Past the driver window: all r07-driver-green, unchanged this round,
+# strict-parity-verified every session.
+QUERIES_PARKED = {
+    "mixture_sample": (q_mixture_sample, SQL_MIXTURE_SAMPLE),
+    "pack_conservation": (q_pack_conservation, SQL_PACK_CONSERVATION),
+    "corpus_token_budget": (q_corpus_token_budget, SQL_CORPUS_TOKEN_BUDGET),
+    "split_overflow_chunks": (q_split_overflow_chunks, SQL_SPLIT_OVERFLOW_CHUNKS),
+    "mixture_sample_tokens": (
+        q_mixture_sample_tokens, SQL_MIXTURE_SAMPLE_TOKENS),
+    "mixture_epoch_plan": (q_mixture_epoch_plan, SQL_MIXTURE_EPOCH_PLAN),
+    "tpch_q3": (q_tpch_q3, SQL_TPCH_Q3),
+    "json_props_stats": (q_json_props_stats, SQL_JSON_PROPS),
+    "similarity_topk": (q_similarity_topk, SQL_SIMILARITY_TOPK),
+    "text_token_stats": (q_text_token_stats, SQL_TEXT_TOKEN_STATS),
+    "drift_psi_event_type": (q_drift_psi_event_type, SQL_DRIFT_PSI),
+    "lsh_topk": (q_lsh_topk, SQL_ANN_PLANTED_TOP1),
+    "ivf_topk": (q_ivf_topk, SQL_ANN_PLANTED_TOP1),
+    "ivf_topk_indexed": (q_ivf_topk_indexed, SQL_IVF_TOPK_INDEXED),
+    "frame_sample_plan": (q_frame_sample_plan, SQL_FRAME_SAMPLE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, SQL_EMBEDDING_NEARDUP_LSH),
+    "text_profile": (q_text_profile, SQL_TEXT_PROFILE),
+    "drift_psi_lang": (q_drift_psi_lang, SQL_DRIFT_PSI_LANG),
+    "drift_ks_quality": (q_drift_ks_quality, SQL_DRIFT_KS_QUALITY),
+    "windowed_drift_psi": (q_windowed_drift_psi, SQL_WINDOWED_DRIFT_PSI),
+    "embedding_stats": (q_embedding_stats, SQL_EMBEDDING_STATS),
+    "referential_media_refs_large_dim": (
+        q_referential_media_refs_large_dim, SQL_REF_MEDIA),
+    "referential_unknown_event_types": (
+        q_referential_unknown_event_types, SQL_REF_EVENT_TYPES),
+    "eval_subset_accuracy": (q_eval_subset_accuracy, SQL_EVAL_ACC),
+    "tpch_q2": (q_tpch_q2, SQL_TPCH_Q2),
+    "tpch_q7": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q8": (q_tpch_q8, SQL_TPCH_Q8),
+    "tpch_q9": (q_tpch_q9, SQL_TPCH_Q9),
+    "tpch_q10": (q_tpch_q10, SQL_TPCH_Q10),
+    "tpch_q11": (q_tpch_q11, SQL_TPCH_Q11),
+    "tpch_q12": (q_tpch_q12, SQL_TPCH_Q12),
+    "tpch_q14": (q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q15": (q_tpch_q15, SQL_TPCH_Q15),
+    "tpch_q16": (q_tpch_q16, SQL_TPCH_Q16),
+    "tpch_q17": (q_tpch_q17, SQL_TPCH_Q17),
+    "tpch_q18": (q_tpch_q18, SQL_TPCH_Q18),
+    "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
+    "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
+    "strip_dup_paragraphs": (q_strip_dup_paragraphs, SQL_STRIP_DUP_PARAGRAPHS),
+    "span_rule_verdicts": (q_span_rule_verdicts, SQL_SPAN_VERDICTS),
+    "arrow_span_violations": (q_arrow_span_violations, SQL_ARROW_SPAN),
+    "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
+    "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
+    "duplicate_token_spans": (
+        q_duplicate_token_spans, SQL_DUPLICATE_TOKEN_SPANS),
 }
 
 QUERIES = {**QUERIES_HEAD, **QUERIES_PARKED}

@@ -175,3 +175,75 @@ def windowed_violation_counts(docs_stream: DataFrame, ts_col: str,
     return v.groupBy(F.window(ts_col, window), "rule_id").agg(
         F.count(F.lit(1)).alias("n_violations")
     )
+
+
+def run_ingest_dedup(spark: SparkSession, in_dir: str, index_path: str,
+                     out_dir: str, checkpoint_dir: str,
+                     threshold: float = 0.7,
+                     append_survivors: bool = True,
+                     docs_schema: str = "doc_id long, text string") -> None:
+    """Continuous-ingest cross-corpus dedup: drain new document files
+    from ``in_dir`` (Trigger.AvailableNow — re-running processes only
+    files added since the last run, Spark's own source checkpoint
+    tracks what was consumed), and per micro-batch run the EXACT batch
+    probe against the persisted MinHash band index via foreachBatch —
+    the standard stream-batch reuse seam, so the streaming path
+    executes dedup.pairs_against_index literally (same function the
+    crosscorpus_neardup driver query oracles), never a re-derived
+    streaming approximation.
+
+    Per micro-batch:
+      flagged pairs  → out_dir/flagged  (id_new, id_indexed,
+                                         est_jaccard, batch_id)
+      surviving docs → out_dir/kept     (docs with no index match)
+      survivors fold into the index (append_survivors=True), so the
+      NEXT batch — and the next RUN — dedups against them too.
+
+    This is the 100 TB continuous-ingest loop the batch operators
+    alone can't give: the standing corpus is probed, never re-paired,
+    and grows monotonically with each drained batch. State: none in
+    the stream itself (foreachBatch output is batch-written); the
+    index IS the state, persisted and manifest-counted.
+
+    Exactly-once caveat (documented, deliberate): sink writes inside
+    foreachBatch are at-least-once under micro-batch RETRY — a crash
+    between the parquet append and the source-offset commit replays
+    the batch. The flagged/kept sinks carry batch_id so replays are
+    detectable (and idempotent to consumers that dedup on it); the
+    index append would double-count a replayed batch in the manifest,
+    which overstates n_docs but never loses a signature — safe for
+    candidate generation (extra identical band rows produce the same
+    pairs). A transactional index (e.g. Iceberg) closes this at
+    deployment; see sources/iceberg.py for the pinning machinery."""
+    from ..operators import dedup as D
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            pairs = D.pairs_against_index(
+                spark, index_path, batch_df, threshold=threshold,
+            ).persist()
+            pairs.withColumn("batch_id", F.lit(batch_id)) \
+                .write.mode("append").parquet(f"{out_dir}/flagged")
+            dup_ids = pairs.select(
+                F.col("id_new").alias("doc_id")).distinct()
+            kept = batch_df.join(dup_ids, "doc_id", "left_anti").persist()
+            kept.withColumn("batch_id", F.lit(batch_id)) \
+                .write.mode("append").parquet(f"{out_dir}/kept")
+            if append_survivors:
+                D.append_to_minhash_index(spark, index_path, kept)
+            kept.unpersist()
+            pairs.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        spark.readStream.schema(docs_schema).parquet(in_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -1,0 +1,103 @@
+"""Continuous-ingest cross-corpus dedup CLI — the operational face of
+the persisted MinHash band index (operators/dedup.build_minhash_index /
+pairs_against_index / append_to_minhash_index) and the streaming drain
+(streaming/validate_stream.run_ingest_dedup):
+
+  --build-from T.parquet   build/rebuild the index from a standing
+                           corpus (one scan), then exit
+  --input DIR              drain new parquet files from DIR
+                           (Trigger.AvailableNow + Spark's source
+                           checkpoint: re-running processes ONLY files
+                           added since the last run), probe each
+                           micro-batch against the index, write
+                           flagged pairs + surviving docs, fold
+                           survivors into the index
+
+Outputs under --output: flagged/ (id_new, id_indexed, est_jaccard,
+batch_id), kept/ (surviving docs + batch_id). Prints ONE JSON summary
+line; exit 0 on success.
+
+Scale shape: the standing corpus is probed, never re-paired — each
+drain costs one (band, bucket) equi-join streamed from the batch side
+plus one signature append. The index IS the state: 16 band partitions
+of (id, sig, bucket) rows, manifest-counted, growing monotonically
+with every drain.
+
+spark-submit --py-files engine.zip jobs/ingest_dedup.py \
+    --index /data/mh_index --input /data/ingest \
+    --output /out --checkpoint /ckpt --threshold 0.8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from intent_classifier_service_spark.operators import dedup  # noqa: E402
+from intent_classifier_service_spark.session import get_spark  # noqa: E402
+from intent_classifier_service_spark.streaming import (  # noqa: E402
+    validate_stream as VS)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--index", required=True,
+                    help="persisted MinHash band index directory")
+    ap.add_argument("--build-from", default=None,
+                    help="standing-corpus parquet: (re)build the index "
+                         "from it and exit")
+    ap.add_argument("--input", default=None,
+                    help="ingest directory of parquet document files")
+    ap.add_argument("--output", default=None)
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--threshold", type=float, default=0.7)
+    ap.add_argument("--no-append", action="store_true",
+                    help="probe only: do not fold survivors into the "
+                         "index")
+    args = ap.parse_args()
+
+    spark = get_spark("ingest_dedup")
+    t0 = time.time()
+
+    if args.build_from:
+        docs = spark.read.parquet(args.build_from)
+        manifest = dedup.build_minhash_index(docs, args.index)
+        print(json.dumps({"mode": "build", "index": args.index,
+                          **manifest,
+                          "wall_sec": round(time.time() - t0, 3)}))
+        return 0
+
+    if not (args.input and args.output and args.checkpoint):
+        ap.error("--input/--output/--checkpoint required unless "
+                 "--build-from")
+
+    VS.run_ingest_dedup(
+        spark, args.input, args.index, args.output, args.checkpoint,
+        threshold=args.threshold,
+        append_survivors=not args.no_append)
+
+    def _n(path: str) -> int:
+        try:
+            return spark.read.parquet(path).count()
+        except Exception:
+            return 0  # sink absent: no batch produced rows
+
+    manifest = dedup._read_mh_manifest(args.index)
+    print(json.dumps({
+        "mode": "drain",
+        "n_flagged_pairs_total": _n(os.path.join(args.output, "flagged")),
+        "n_kept_docs_total": _n(os.path.join(args.output, "kept")),
+        "index_n_docs": manifest["n_docs"],
+        "index_n_appends": manifest["n_appends"],
+        "wall_sec": round(time.time() - t0, 3),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -719,3 +719,56 @@ def test_windowed_psi_stream_checkpoint_recovery(spark, tmp_path):
                      round(r["psi"], 9), r["pass"])
     assert sorted(map(key, got.collect())) == \
         sorted(map(key, spark.read.parquet(solo_out).collect()))
+
+
+def test_ingest_dedup_stream_incremental(spark, tmp_path):
+    """Continuous-ingest cross-corpus dedup (run_ingest_dedup): two
+    availableNow drains over a growing ingest directory. Drain 1 flags
+    the doc duplicating the standing index and appends survivors;
+    drain 2 processes ONLY the newly arrived file (file-level
+    checkpoint) and flags a dup of a drain-1 SURVIVOR — proof the
+    index grew between runs. The probe inside foreachBatch is the
+    literal batch operator (dedup.pairs_against_index), so semantics
+    are the oracled ones."""
+    from intent_classifier_service_spark.operators import dedup
+
+    idx = str(tmp_path / "idx")
+    in_dir = str(tmp_path / "ingest")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    old = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different standing document about engines")],
+        "doc_id long, text string")
+    dedup.build_minhash_index(old, idx)
+
+    spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy dog"),   # dup of 1
+         (12, "completely novel ingest text nothing like the corpus")],
+        "doc_id long, text string").write.mode("append").parquet(in_dir)
+    VS.run_ingest_dedup(spark, in_dir, idx, out, ckpt, threshold=0.9)
+
+    flagged = spark.read.parquet(f"{out}/flagged")
+    assert {(r["id_new"], r["id_indexed"])
+            for r in flagged.collect()} == {(11, 1)}
+    kept = spark.read.parquet(f"{out}/kept")
+    assert {r["doc_id"] for r in kept.collect()} == {12}
+    m = dedup._read_mh_manifest(idx)
+    assert (m["n_docs"], m["n_appends"]) == (3, 1)  # survivor 12 folded in
+
+    # second arrival: dup of drain-1 SURVIVOR 12 + one fresh doc
+    spark.createDataFrame(
+        [(21, "completely novel ingest text nothing like the corpus"),
+         (22, "yet another genuinely fresh document body with words")],
+        "doc_id long, text string").write.mode("append").parquet(in_dir)
+    VS.run_ingest_dedup(spark, in_dir, idx, out, ckpt, threshold=0.9)
+
+    flagged2 = {(r["id_new"], r["id_indexed"])
+                for r in spark.read.parquet(f"{out}/flagged").collect()}
+    assert flagged2 == {(11, 1), (21, 12)}
+    kept2 = {r["doc_id"]
+             for r in spark.read.parquet(f"{out}/kept").collect()}
+    assert kept2 == {12, 22}  # drain-2 re-processed nothing from drain 1
+    m2 = dedup._read_mh_manifest(idx)
+    assert (m2["n_docs"], m2["n_appends"]) == (4, 2)
