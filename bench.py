@@ -80,15 +80,19 @@ def _headline_queries():
 
 
 def _q_bpe_train_256(spark, sf_dir):
-    """256-merge BPE training on the sf documents corpus through the
-    size-gated driver path (round-7 verdict #1): one corpus scan for
-    the histogram, one metadata-sized collect, in-memory incremental
-    trainer, vocab frame back out. Correctness is pinned separately
-    (driver==distributed pytest + the bpe_train_first3 oracle); this
-    entry tracks the trainer's wall-clock at a real merge count."""
+    """256-merge BPE training through the size-gated driver path
+    (round-7 verdict #1): one corpus scan for the histogram, one
+    metadata-sized collect, in-memory incremental trainer, vocab frame
+    back out. Runs on the 100k-doc synthetic prep corpus (1000-word
+    vocabulary — the sf documents table exhausts all mergeable pairs
+    after ~107 merges, too few for a 256-merge wall-clock). Correctness
+    is pinned separately (driver==distributed pytest + the
+    bpe_train_first3 oracle); this entry tracks the trainer at a real
+    merge count — the round-7 distributed path would pay ~512 scheduled
+    Spark rounds here."""
     from intent_classifier_service_spark.operators import bpe
 
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs = spark.read.parquet(_prep_docs_path(spark, 100_000))
     merges, vocab = bpe.train_bpe(docs, num_merges=256)
     assert len(merges) == 256, len(merges)
     return vocab

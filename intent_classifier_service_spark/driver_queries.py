@@ -956,6 +956,49 @@ WHERE a.vec_id < 100
 """
 
 
+def q_crosscorpus_embedding_neardup(spark, sf_dir):
+    """Cross-corpus incremental dedup, EMBEDDING modality
+    (similarity.build_embedding_index / embedding_pairs_against_index —
+    the vector twin of crosscorpus_neardup): the standing embeddings
+    table persists once as a hyperplane-LSH band index carrying the
+    vectors; the ingest batch (exact copies of vec_id<50 re-entering as
+    vec_id+100000) probes it with ONE (band, bucket) equi-join + exact
+    cosine verify against the STORED index vectors. Identical vectors
+    share every band (recall 1 by construction) and the max cosine
+    among non-identical pairs is ~0.6 ≪ 0.9, so exactly the 50 planted
+    pairs fire. Oracle: exact batch×corpus cosine in DuckDB. Index
+    cached per-SF keyed on the source's mtime+size."""
+    import glob
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    path = (f"/tmp/spark_graft_emb_idx_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_{st.st_mtime_ns}_{st.st_size}")
+    if not glob.glob(os.path.join(path, "manifest.json")):
+        similarity.build_embedding_index(emb, path, dim=64)
+    batch = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return similarity.embedding_pairs_against_index(
+        spark, path, batch, threshold=0.9
+    ).select("id_new", "id_indexed", F.round("cosine", 6).alias("cosine"))
+
+
+SQL_CROSSCORPUS_EMBEDDING = """
+SELECT a.vec_id + 100000 AS id_new, b.vec_id AS id_indexed,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+FROM embeddings a JOIN embeddings b
+  ON list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                            CAST(b.embedding AS DOUBLE[])) >= 0.9
+WHERE a.vec_id < 50
+"""
+
+
 def q_arrow_span_violations(spark, sf_dir):
     """The mandated Arrow/pandas-UDF rule path (mapInPandas) on the
     derived spans — must equal the union of the three span-rule
@@ -3814,9 +3857,12 @@ QUERIES_HEAD = {
     "column_stats_orders": (q_column_stats_orders, SQL_COLUMN_STATS),
     "hash_split_assign": (q_hash_split_assign, SQL_HASH_SPLIT),
     "leakage_safe_split": (q_leakage_safe_split, SQL_LEAKAGE_SAFE_SPLIT),
+    # -- (a) new in round 8, second half: embedding-modality index probe
+    # (bpe_merge_candidates parked to make room — its module freshness
+    # is covered by bpe_train_first3 riding the same trainer code)
+    "crosscorpus_embedding_neardup": (
+        q_crosscorpus_embedding_neardup, SQL_CROSSCORPUS_EMBEDDING),
     # -- (b) r07-green, re-verified: their modules changed this round -------
-    "bpe_merge_candidates": (
-        q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
     "dedup_exact_prefix": (q_dedup_exact_prefix, SQL_DEDUP_PREFIX),
     "paragraph_dedup": (q_paragraph_dedup, SQL_PARAGRAPH_DEDUP),
     "duplicate_window_stats": (
@@ -3876,6 +3922,8 @@ QUERIES_PARKED = {
     "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),
     "duplicate_token_spans": (
         q_duplicate_token_spans, SQL_DUPLICATE_TOKEN_SPANS),
+    "bpe_merge_candidates": (
+        q_bpe_merge_candidates, SQL_BPE_MERGE_CANDIDATES),
 }
 
 QUERIES = {**QUERIES_HEAD, **QUERIES_PARKED}

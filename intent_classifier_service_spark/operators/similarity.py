@@ -738,6 +738,27 @@ def ivf_topk_quantized(spark, path: str, queries: list[tuple[int, list[float]]],
     )
 
 
+def _banded_hyperplane(embeddings: DataFrame, n_bits: int, bands: int,
+                       id_col: str, vec_col: str, seed: int,
+                       dim: int | None) -> DataFrame:
+    """(id, band, bucket): hyperplane signatures exploded into LSH band
+    buckets — shared by the self-join pair generator and the persisted
+    cross-corpus embedding index."""
+    r = n_bits // bands
+    mask = (1 << r) - 1
+    sigs = hyperplane_signatures(embeddings, n_bits, id_col, vec_col, seed, dim=dim)
+    return sigs.select(
+        id_col,
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"),
+                         F.shiftright("sig", b * r).bitwiseAND(F.lit(mask)).alias("bucket"))
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+
 def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
                             n_bits: int = 24, bands: int = 6,
                             id_col: str = "vec_id", vec_col: str = "embedding",
@@ -748,19 +769,8 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
 
     Pass ``dim`` when known to skip the one-row dimensionality probe
     (an extra Spark job per call)."""
-    r = n_bits // bands
-    mask = (1 << r) - 1
-    sigs = hyperplane_signatures(embeddings, n_bits, id_col, vec_col, seed, dim=dim)
-    banded = sigs.select(
-        id_col,
-        F.explode(
-            F.array(*[
-                F.struct(F.lit(b).alias("band"),
-                         F.shiftright("sig", b * r).bitwiseAND(F.lit(mask)).alias("bucket"))
-                for b in range(bands)
-            ])
-        ).alias("bb"),
-    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    banded = _banded_hyperplane(
+        embeddings, n_bits, bands, id_col, vec_col, seed, dim)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
@@ -773,6 +783,118 @@ def embedding_neardup_pairs(embeddings: DataFrame, threshold: float = 0.95,
     return cosine_pairs(embeddings, cand, id_col, vec_col).filter(
         F.col("cosine") >= threshold
     )
+
+
+# ------------------------------- cross-corpus incremental embedding dedup
+#
+# The embedding-modality twin of dedup.build_minhash_index /
+# pairs_against_index / append_to_minhash_index: persist the standing
+# corpus' hyperplane-LSH band buckets WITH the vectors, probe each
+# ingest batch with one (band, bucket) equi-join + exact cosine verify,
+# append survivors. Same manifest discipline (hash-family parameters
+# travel with the index, probes re-derive signatures from it), same
+# scale shape (the standing corpus is read, never re-paired against
+# itself; candidates are bounded by batch collisions).
+
+
+def build_embedding_index(embeddings: DataFrame, path: str,
+                          n_bits: int = 24, bands: int = 6,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          seed: int = 42, dim: int | None = None) -> dict:
+    """Persist (id, embedding, bucket) partitioned by band under
+    ``path``/bands + manifest.json. The vector rides in the index row
+    so the probe's exact-cosine verify never joins back to the source
+    table. Returns the manifest."""
+    from .dedup import _write_mh_manifest
+
+    if dim is None:
+        dim = int(embeddings.select(F.size(vec_col).alias("d")).first()["d"])
+    banded = _banded_hyperplane(
+        embeddings, n_bits, bands, id_col, vec_col, seed, dim
+    ).join(embeddings.select(id_col, vec_col), id_col)
+    banded.write.mode("overwrite").partitionBy("band").parquet(
+        os.path.join(path, "bands"))
+    spark = embeddings.sparkSession
+    n_vecs = (
+        spark.read.parquet(os.path.join(path, "bands"))
+        .select(id_col).distinct().count()
+    )
+    params = {"n_bits": n_bits, "bands": bands, "seed": seed, "dim": dim,
+              "id_col": id_col, "vec_col": vec_col}
+    return _write_mh_manifest(path, params, n_vecs, 0, [])
+
+
+def embedding_pairs_against_index(spark, path: str,
+                                  new_embeddings: DataFrame,
+                                  threshold: float = 0.95) -> DataFrame:
+    """Near-dup pairs between an ingest batch of vectors and the
+    persisted index: (id_new, id_indexed, cosine ≥ threshold). Batch
+    signatures re-derive from the manifest's plane family; candidates
+    come from ONE (band, bucket) equi-join streamed from the batch
+    side; the verify is exact cosine between the batch vector and the
+    vector STORED in the index row. Within-index pairs are never
+    re-emitted; a re-ingested id never pairs with itself."""
+    from .dedup import _read_mh_manifest
+
+    m = _read_mh_manifest(path)
+    id_col, vec_col = m["id_col"], m["vec_col"]
+    banded_new = _banded_hyperplane(
+        new_embeddings, m["n_bits"], m["bands"], id_col, vec_col,
+        m["seed"], m["dim"],
+    ).join(new_embeddings.select(id_col, vec_col), id_col)
+    idx = spark.read.parquet(os.path.join(path, "bands"))
+    n = banded_new.alias("n")
+    i = idx.alias("i")
+    cand = (
+        n.join(
+            i,
+            (F.col("n.band") == F.col("i.band"))
+            & (F.col("n.bucket") == F.col("i.bucket"))
+            & (F.col(f"n.{id_col}") != F.col(f"i.{id_col}")),
+        )
+        .select(
+            F.col(f"n.{id_col}").alias("id_new"),
+            F.col(f"i.{id_col}").alias("id_indexed"),
+            F.col(f"n.{vec_col}").alias("_va"),
+            F.col(f"i.{vec_col}").alias("_vb"),
+        )
+        .dropDuplicates(["id_new", "id_indexed"])
+    )
+    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform("_va", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform("_vb", lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return cand.select(
+        "id_new", "id_indexed",
+        (dot / F.greatest(na * nb, F.lit(1e-12))).alias("cosine"),
+    ).filter(F.col("cosine") >= threshold)
+
+
+def append_to_embedding_index(spark, path: str,
+                              new_embeddings: DataFrame) -> dict:
+    """Fold an ingest batch of vectors into the persisted embedding
+    index (parquet append into the band partitions + manifest bump) —
+    the embedding twin of dedup.append_to_minhash_index."""
+    from .dedup import _read_mh_manifest, _write_mh_manifest
+
+    m = _read_mh_manifest(path)
+    id_col, vec_col = m["id_col"], m["vec_col"]
+    banded = _banded_hyperplane(
+        new_embeddings, m["n_bits"], m["bands"], id_col, vec_col,
+        m["seed"], m["dim"],
+    ).join(new_embeddings.select(id_col, vec_col), id_col).persist()
+    n_new = banded.select(id_col).distinct().count()
+    banded.write.mode("append").partitionBy("band").parquet(
+        os.path.join(path, "bands"))
+    banded.unpersist()
+    params = {k: m[k] for k in (
+        "n_bits", "bands", "seed", "dim", "id_col", "vec_col")}
+    return _write_mh_manifest(
+        path, params, m["n_docs"] + n_new, m["n_appends"] + 1,
+        m["append_counts"] + [n_new])
 
 
 def cosine_pairs(embeddings: DataFrame, pairs: DataFrame,

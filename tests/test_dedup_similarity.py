@@ -430,3 +430,79 @@ def test_minhash_index_lifecycle(spark, tmp_path):
 
     m3 = dedup.append_to_minhash_index(spark, path, batch2)
     assert (m3["n_docs"], m3["n_appends"], m3["append_counts"]) == (6, 2, [2, 1])
+
+
+def test_pairs_against_index_equals_batch_cross_pairs(spark, tmp_path):
+    """Randomized-corpus equivalence armor (round 8): probing the
+    persisted index with a batch must produce EXACTLY the
+    cross-(indexed, batch) subset of minhash_lsh_pairs over the union
+    corpus — identical band keys, identical signature-level verify —
+    including planted cross-parity duplicates and whatever incidental
+    collisions the random draw produces."""
+    import random
+
+    rng = random.Random(8)
+    pool = [f"tok{i}" for i in range(30)]
+    rows = []
+    for i in range(120):
+        n = rng.randint(4, 12)
+        rows.append((i, " ".join(rng.choice(pool) for _ in range(n))))
+    # planted duplicates straddling the parity boundary, both ways,
+    # plus a dup-of-a-dup chain (doc 203 copies doc 202 = rows[122],
+    # which itself copies doc 7) and one within-index pair (202, 7)
+    # that must never be re-emitted by the probe
+    for i, j in [(200, 3), (201, 4), (202, 7), (203, 122)]:
+        rows.append((i, rows[j][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    dedup.build_minhash_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    got = {(r["id_new"], r["id_indexed"], round(r["est_jaccard"], 9))
+           for r in dedup.pairs_against_index(
+               spark, path, docs.filter(F.col("doc_id") % 2 == 1),
+               threshold=0.5).collect()}
+    expect = set()
+    for r in dedup.minhash_lsh_pairs(docs, threshold=0.5).collect():
+        a, b = r["id_a"], r["id_b"]
+        if a % 2 != b % 2:
+            nw, ix = (a, b) if a % 2 == 1 else (b, a)
+            expect.add((nw, ix, round(r["est_jaccard"], 9)))
+    assert len(expect) >= 3  # the planted cross-parity dups at least
+    assert got == expect
+
+
+def test_embedding_index_lifecycle(spark, tmp_path):
+    """Embedding-modality cross-corpus dedup: build the hyperplane band
+    index, probe with a batch (planted exact copy found at cosine ~1;
+    within-index pairs never re-emitted; re-ingested id never
+    self-pairs), append, probe again vs an APPENDED vector only."""
+    rng = np.random.RandomState(5)
+    base = rng.normal(size=(6, 16))
+    old = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(6)],
+        "vec_id long, embedding array<double>")
+    path = str(tmp_path / "emb_idx")
+    m = similarity.build_embedding_index(old, path, dim=16)
+    assert (m["n_docs"], m["n_appends"]) == (6, 0)
+
+    fresh = rng.normal(size=16)
+    batch1 = spark.createDataFrame(
+        [(11, base[2].tolist()),        # exact copy of indexed vec 2
+         (12, fresh.tolist()),          # genuinely new direction
+         (3, base[3].tolist())],        # re-ingested id 3, verbatim
+        "vec_id long, embedding array<double>")
+    got = {(r["id_new"], r["id_indexed"]): r["cosine"]
+           for r in similarity.embedding_pairs_against_index(
+               spark, path, batch1, threshold=0.95).collect()}
+    assert set(got) == {(11, 2)} and got[(11, 2)] > 0.999999
+
+    kept = batch1.filter(F.col("vec_id") > 10)
+    m2 = similarity.append_to_embedding_index(spark, path, kept)
+    assert (m2["n_docs"], m2["n_appends"], m2["append_counts"]) == (8, 1, [2])
+
+    batch2 = spark.createDataFrame(
+        [(21, fresh.tolist())],  # copy of APPENDED vec 12 only
+        "vec_id long, embedding array<double>")
+    got2 = {(r["id_new"], r["id_indexed"])
+            for r in similarity.embedding_pairs_against_index(
+                spark, path, batch2, threshold=0.95).collect()}
+    assert got2 == {(21, 12)}
