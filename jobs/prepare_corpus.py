@@ -84,7 +84,8 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
         window_k: int = 8,
         min_run_tokens: int = 50,
         bpe_merges: int | None = None,
-        bpe_hot_words: int = 512) -> dict:
+        bpe_hot_words: int = 512,
+        tokenizer_path: str | None = None) -> dict:
     """The pipeline over a (doc_id, text, lang, ...) frame. Returns the
     summary dict (also what main() prints)."""
     splits = splits or {"train": 0.9, "val": 0.05, "test": 0.05}
@@ -171,21 +172,31 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
         textstats.subword_estimate("text").cast("long")
         .alias("est_subword_tokens"),
     )
-    if bpe_merges:
+    if bpe_merges or tokenizer_path:
         # -- exact subword counts drive the whole downstream chain
         # (round-7 verdict next-round #3): train a BPE tokenizer on the
-        # TRAIN split only (eval text never shapes the vocab), encode
-        # every split with it, and let n_tokens = the EXACT subword
-        # count — budget, mixture quotas, and packing then all run in
-        # the unit training budgets are actually stated in, instead of
-        # the whitespace/regex estimates. The merge table is persisted
-        # next to the corpus so the training run uses the same
-        # tokenizer artifact.
-        merges, vocab = bpe.train_bpe(
-            base.filter(F.col("split") == train_split)
-            .select("doc_id", "text"),
-            num_merges=bpe_merges)
-        vocab.unpersist()
+        # TRAIN split only (eval text never shapes the vocab) — or load
+        # a previously persisted merge table (``tokenizer_path``, the
+        # artifact round-trip: a corpus refresh reuses the production
+        # tokenizer instead of retraining) — encode every split with
+        # it, and let n_tokens = the EXACT subword count — budget,
+        # mixture quotas, and packing then all run in the unit training
+        # budgets are actually stated in, instead of the
+        # whitespace/regex estimates. The merge table is persisted next
+        # to the corpus either way, so downstream runs can point
+        # --tokenizer at this run's output.
+        if tokenizer_path:
+            merges = [
+                (r["left"], r["right"])
+                for r in spark.read.parquet(tokenizer_path)
+                .orderBy("rank").collect()
+            ]  # merge tables are merge-count-sized: a driver list
+        else:
+            merges, vocab = bpe.train_bpe(
+                base.filter(F.col("split") == train_split)
+                .select("doc_id", "text"),
+                num_merges=bpe_merges)
+            vocab.unpersist()
         spark.createDataFrame(
             [(i, left, right) for i, (left, right) in enumerate(merges)],
             "rank int, left string, right string",
@@ -310,6 +321,10 @@ def main() -> int:
     ap.add_argument("--bpe-hot-words", type=int, default=512,
                     help="broadcast precomputed encodings for the top-N "
                          "corpus words during the encode pass")
+    ap.add_argument("--tokenizer", default=None,
+                    help="persisted merge table (rank, left, right) "
+                         "from a prior run's output/tokenizer — encode "
+                         "with it instead of training")
     args = ap.parse_args()
 
     spark = get_spark("prepare_corpus")
@@ -330,6 +345,7 @@ def main() -> int:
         min_run_tokens=args.min_run_tokens,
         bpe_merges=args.bpe_merges,
         bpe_hot_words=args.bpe_hot_words,
+        tokenizer_path=args.tokenizer,
     )
     print(json.dumps(summary))
     return 0

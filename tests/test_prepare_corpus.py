@@ -171,3 +171,36 @@ def test_prepare_corpus_exact_subword_tokens(spark, tmp_path):
     budget = spark.read.parquet(os.path.join(out, "budget"))
     assert (budget.agg(F.sum("total_tokens")).collect()[0][0]
             == train_subword)
+
+
+def test_prepare_corpus_tokenizer_roundtrip(spark, tmp_path):
+    """--tokenizer: a second run loading the first run's persisted
+    merge table produces byte-identical exact subword counts without
+    retraining — the artifact round-trip a corpus refresh uses."""
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out1 = str(tmp_path / "run1")
+    s1 = prepare_corpus.run(
+        spark, docs, out1, max_tokens=96, splits={"train": 1.0},
+        bpe_merges=8, bpe_hot_words=0,
+    )
+    out2 = str(tmp_path / "run2")
+    s2 = prepare_corpus.run(
+        spark, docs, out2, max_tokens=96, splits={"train": 1.0},
+        tokenizer_path=os.path.join(out1, "tokenizer"),
+    )
+    assert s2["n_tokenizer_merges"] == s1["n_tokenizer_merges"] == 8
+    assert "tokenizer_train" in s2["stage_secs"]  # load path stamped too
+    c1 = {r["doc_id"]: r["n_tokens"] for r in
+          spark.read.parquet(os.path.join(out1, "corpus")).collect()}
+    c2 = {r["doc_id"]: r["n_tokens"] for r in
+          spark.read.parquet(os.path.join(out2, "corpus")).collect()}
+    assert c1 == c2
+    assert s2["packed_tokens"] == s1["packed_tokens"]
+    # the re-persisted merge table equals the loaded one, rank for rank
+    t1 = [(r["rank"], r["left"], r["right"]) for r in
+          spark.read.parquet(os.path.join(out1, "tokenizer"))
+          .orderBy("rank").collect()]
+    t2 = [(r["rank"], r["left"], r["right"]) for r in
+          spark.read.parquet(os.path.join(out2, "tokenizer"))
+          .orderBy("rank").collect()]
+    assert t1 == t2
