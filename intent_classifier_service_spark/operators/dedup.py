@@ -590,6 +590,112 @@ def append_to_minhash_index(spark, path: str,
         m["append_counts"] + [n_new])
 
 
+# --------------------------------- cross-corpus EXACT-hash index
+#
+# The stage every continuous-ingest pipeline runs BEFORE near-dup: is
+# this batch's text byte-identical (modulo normalization) to anything
+# in the standing corpus? The index is (id, digest, digest2) — 24
+# bytes/doc, ~2.4 TB at 100B docs — partitioned by a digest shard.
+# Probing is one (shard, digest, digest2) equi-join whose streamed
+# side is the batch: with a batch ≪ index, AQE broadcasts the BATCH,
+# so the standing index never shuffles at all. digest2 is an
+# independent xxhash64 (seeded with a literal column) — requiring both
+# to match makes a false pair need a simultaneous 128-bit collision,
+# which matters at 100 TB where single-64-bit birthday collisions
+# start appearing around ~4B docs.
+
+
+def _exact_digests(docs: DataFrame, id_col: str, text_col: str,
+                   n_shards: int) -> DataFrame:
+    """(id, digest, digest2, shard) — digest/digest2 are independent
+    xxhash64 values of the normalized text; shard = pmod(digest,
+    n_shards) drives the index's partition layout."""
+    norm = normalized_text(text_col)
+    return docs.select(
+        F.col(id_col).alias("id"),
+        F.xxhash64(norm).alias("digest"),
+        F.xxhash64(norm, F.lit(1)).alias("digest2"),
+    ).withColumn(
+        "shard", F.pmod(F.col("digest"), F.lit(n_shards)).cast("int"))
+
+
+def build_exact_index(docs: DataFrame, path: str,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      n_shards: int = 16) -> dict:
+    """Persist the standing corpus' exact-text digests as a probe-able
+    index under ``path``/shards, manifest discipline identical to the
+    MinHash index (params live in manifest.json; probes/appends
+    re-derive digests FROM the manifest so hash families can't mix).
+    One corpus scan; texts never leave it — only 24-byte digest rows
+    are written. Returns the manifest."""
+    import os
+
+    dig = _exact_digests(docs, id_col, text_col, n_shards)
+    dig.write.mode("overwrite").partitionBy("shard").parquet(
+        os.path.join(path, "shards"))
+    spark = docs.sparkSession
+    n_docs = (
+        spark.read.parquet(os.path.join(path, "shards"))
+        .select("id").distinct().count()
+    )
+    params = {"kind": "exact", "n_shards": n_shards,
+              "id_col": id_col, "text_col": text_col}
+    return _write_mh_manifest(path, params, n_docs, 0, [])
+
+
+def exact_dups_against_index(spark, path: str,
+                             new_docs: DataFrame) -> DataFrame:
+    """Exact duplicates between an ingest batch and the PERSISTED
+    index: one row per duplicated batch doc — (id_new, id_indexed =
+    min standing id with the same normalized text, n_indexed_copies).
+    Batch digests equi-join the index on (shard, digest, digest2);
+    a re-ingested id never pairs with itself; within-index duplicates
+    are never re-emitted (one join side is always the batch). The
+    min-id survivor convention matches exact_dedup, so a drain can
+    drop flagged rows and keep provenance to the standing keeper."""
+    import os
+
+    m = _read_mh_manifest(path)
+    new = _exact_digests(new_docs, m["id_col"], m["text_col"],
+                         m["n_shards"])
+    idx = spark.read.parquet(os.path.join(path, "shards"))
+    n, i = new.alias("n"), idx.alias("i")
+    return (
+        n.join(
+            i,
+            (F.col("n.shard") == F.col("i.shard"))
+            & (F.col("n.digest") == F.col("i.digest"))
+            & (F.col("n.digest2") == F.col("i.digest2"))
+            & (F.col("n.id") != F.col("i.id")),
+        )
+        .groupBy(F.col("n.id").alias("id_new"))
+        .agg(
+            F.min(F.col("i.id")).alias("id_indexed"),
+            F.count_distinct(F.col("i.id")).alias("n_indexed_copies"),
+        )
+    )
+
+
+def append_to_exact_index(spark, path: str, new_docs: DataFrame) -> dict:
+    """Fold an ingest batch into the exact index: append its digest
+    rows into the shard partitions (no rewrite of standing files) and
+    bump the manifest counts. Cadence: exact_dups_against_index(batch)
+    → drop flagged → append_to_exact_index(kept batch)."""
+    import os
+
+    m = _read_mh_manifest(path)
+    dig = _exact_digests(new_docs, m["id_col"], m["text_col"],
+                         m["n_shards"]).persist()
+    n_new = dig.select("id").distinct().count()
+    dig.write.mode("append").partitionBy("shard").parquet(
+        os.path.join(path, "shards"))
+    dig.unpersist()
+    params = {k: m[k] for k in ("kind", "n_shards", "id_col", "text_col")}
+    return _write_mh_manifest(
+        path, params, m["n_docs"] + n_new, m["n_appends"] + 1,
+        m["append_counts"] + [n_new])
+
+
 # -------------------------------------------------- decontamination
 
 def contaminated_docs(docs: DataFrame, benchmark: DataFrame, n: int = 13,

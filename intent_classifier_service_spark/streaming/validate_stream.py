@@ -181,6 +181,7 @@ def run_ingest_dedup(spark: SparkSession, in_dir: str, index_path: str,
                      out_dir: str, checkpoint_dir: str,
                      threshold: float = 0.7,
                      append_survivors: bool = True,
+                     exact_index_path: str | None = None,
                      docs_schema: str = "doc_id long, text string") -> None:
     """Continuous-ingest cross-corpus dedup: drain new document files
     from ``in_dir`` (Trigger.AvailableNow — re-running processes only
@@ -214,29 +215,49 @@ def run_ingest_dedup(spark: SparkSession, in_dir: str, index_path: str,
     which overstates n_docs but never loses a signature — safe for
     candidate generation (extra identical band rows produce the same
     pairs). A transactional index (e.g. Iceberg) closes this at
-    deployment; see sources/iceberg.py for the pinning machinery."""
+    deployment; see sources/iceberg.py for the pinning machinery.
+
+    ``exact_index_path`` (optional) runs the EXACT-digest probe first
+    — the stage real ingest pipelines put before near-dup, since
+    byte-identical copies are the overwhelming majority of web dups:
+    exact hits land in out_dir/flagged_exact (id_new, id_indexed,
+    n_indexed_copies, batch_id) and drop out of the batch before any
+    MinHash signature is computed; survivors fold into BOTH indexes."""
     from ..operators import dedup as D
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
+        work = batch_df
         try:
             if batch_df.isEmpty():
                 return
+            if exact_index_path is not None:
+                ex = D.exact_dups_against_index(
+                    spark, exact_index_path, batch_df).persist()
+                ex.withColumn("batch_id", F.lit(batch_id)) \
+                    .write.mode("append").parquet(f"{out_dir}/flagged_exact")
+                ex_ids = ex.select(F.col("id_new").alias("doc_id")).distinct()
+                work = batch_df.join(ex_ids, "doc_id", "left_anti").persist()
+                ex.unpersist()
             pairs = D.pairs_against_index(
-                spark, index_path, batch_df, threshold=threshold,
+                spark, index_path, work, threshold=threshold,
             ).persist()
             pairs.withColumn("batch_id", F.lit(batch_id)) \
                 .write.mode("append").parquet(f"{out_dir}/flagged")
             dup_ids = pairs.select(
                 F.col("id_new").alias("doc_id")).distinct()
-            kept = batch_df.join(dup_ids, "doc_id", "left_anti").persist()
+            kept = work.join(dup_ids, "doc_id", "left_anti").persist()
             kept.withColumn("batch_id", F.lit(batch_id)) \
                 .write.mode("append").parquet(f"{out_dir}/kept")
             if append_survivors:
                 D.append_to_minhash_index(spark, index_path, kept)
+                if exact_index_path is not None:
+                    D.append_to_exact_index(spark, exact_index_path, kept)
             kept.unpersist()
             pairs.unpersist()
         finally:
+            if work is not batch_df:
+                work.unpersist()
             batch_df.unpersist()
 
     q = (

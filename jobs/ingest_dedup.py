@@ -14,8 +14,11 @@ pairs_against_index / append_to_minhash_index) and the streaming drain
                            survivors into the index
 
 Outputs under --output: flagged/ (id_new, id_indexed, est_jaccard,
-batch_id), kept/ (surviving docs + batch_id). Prints ONE JSON summary
-line; exit 0 on success.
+batch_id), kept/ (surviving docs + batch_id), and — with
+--exact-index — flagged_exact/ (id_new, id_indexed, n_indexed_copies,
+batch_id: byte-identical copies caught by the digest probe before any
+signature is computed). Prints ONE JSON summary line; exit 0 on
+success.
 
 Scale shape: the standing corpus is probed, never re-paired — each
 drain costs one (band, bucket) equi-join streamed from the batch side
@@ -59,6 +62,12 @@ def main() -> int:
     ap.add_argument("--no-append", action="store_true",
                     help="probe only: do not fold survivors into the "
                          "index")
+    ap.add_argument("--exact-index", default=None,
+                    help="persisted exact-digest index directory: "
+                         "byte-identical (modulo normalization) copies "
+                         "are flagged and dropped BEFORE the near-dup "
+                         "probe; built alongside the MinHash index "
+                         "under --build-from")
     args = ap.parse_args()
 
     spark = get_spark("ingest_dedup")
@@ -67,8 +76,12 @@ def main() -> int:
     if args.build_from:
         docs = spark.read.parquet(args.build_from)
         manifest = dedup.build_minhash_index(docs, args.index)
-        print(json.dumps({"mode": "build", "index": args.index,
-                          **manifest,
+        out = {"mode": "build", "index": args.index, **manifest}
+        if args.exact_index:
+            ex_manifest = dedup.build_exact_index(docs, args.exact_index)
+            out["exact_index"] = args.exact_index
+            out["exact_n_docs"] = ex_manifest["n_docs"]
+        print(json.dumps({**out,
                           "wall_sec": round(time.time() - t0, 3)}))
         return 0
 
@@ -79,7 +92,8 @@ def main() -> int:
     VS.run_ingest_dedup(
         spark, args.input, args.index, args.output, args.checkpoint,
         threshold=args.threshold,
-        append_survivors=not args.no_append)
+        append_survivors=not args.no_append,
+        exact_index_path=args.exact_index)
 
     def _n(path: str) -> int:
         try:
@@ -88,14 +102,20 @@ def main() -> int:
             return 0  # sink absent: no batch produced rows
 
     manifest = dedup._read_mh_manifest(args.index)
-    print(json.dumps({
+    summary = {
         "mode": "drain",
         "n_flagged_pairs_total": _n(os.path.join(args.output, "flagged")),
         "n_kept_docs_total": _n(os.path.join(args.output, "kept")),
         "index_n_docs": manifest["n_docs"],
         "index_n_appends": manifest["n_appends"],
-        "wall_sec": round(time.time() - t0, 3),
-    }))
+    }
+    if args.exact_index:
+        ex = dedup._read_mh_manifest(args.exact_index)
+        summary["n_flagged_exact_total"] = _n(
+            os.path.join(args.output, "flagged_exact"))
+        summary["exact_index_n_docs"] = ex["n_docs"]
+    print(json.dumps({**summary,
+                      "wall_sec": round(time.time() - t0, 3)}))
     return 0
 
 

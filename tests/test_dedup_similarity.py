@@ -432,6 +432,51 @@ def test_minhash_index_lifecycle(spark, tmp_path):
     assert (m3["n_docs"], m3["n_appends"], m3["append_counts"]) == (6, 2, [2, 1])
 
 
+def test_exact_index_lifecycle(spark, tmp_path):
+    """Cross-corpus EXACT dedup (the pre-near-dup ingest stage):
+    build the digest index over the standing corpus, probe with an
+    ingest batch — normalization-equal text flagged with the min-id
+    standing survivor and the standing copy count, a re-ingested id
+    never self-pairs, within-index duplicates never re-emitted —
+    append, then probe a second batch that matches ONLY an appended
+    doc. Manifest counts at every step."""
+    old = spark.createDataFrame(
+        [(2, "The Quick  Brown Fox"),   # 2 and 4: standing dups of
+         (4, "the quick brown fox"),    # each other (never re-emitted)
+         (6, "an entirely different standing document")],
+        "doc_id long, text string")
+    path = str(tmp_path / "ex_idx")
+    m = dedup.build_exact_index(old, path)
+    assert (m["n_docs"], m["n_appends"], m["kind"]) == (3, 0, "exact")
+
+    batch1 = spark.createDataFrame(
+        [(11, "  the QUICK brown   fox "),  # normalizes to 2/4's text
+         (13, "completely novel ingest text"),
+         (6, "an entirely different standing document")],  # re-ingested
+        "doc_id long, text string")
+    got = {r["id_new"]: (r["id_indexed"], r["n_indexed_copies"])
+           for r in dedup.exact_dups_against_index(
+               spark, path, batch1).collect()}
+    # min-id survivor (2, not 4), BOTH standing copies counted; the
+    # re-ingested id 6 pairs with nothing (self excluded, no other copy)
+    assert got == {11: (2, 2)}
+
+    kept = batch1.filter(F.col("doc_id") == 13)
+    m2 = dedup.append_to_exact_index(spark, path, kept)
+    assert (m2["n_docs"], m2["n_appends"], m2["append_counts"]) == (4, 1, [1])
+
+    batch2 = spark.createDataFrame(
+        [(21, "Completely NOVEL ingest text")],  # dup of APPENDED 13
+        "doc_id long, text string")
+    got2 = {r["id_new"]: (r["id_indexed"], r["n_indexed_copies"])
+            for r in dedup.exact_dups_against_index(
+                spark, path, batch2).collect()}
+    assert got2 == {21: (13, 1)}
+
+    m3 = dedup.append_to_exact_index(spark, path, batch2)
+    assert (m3["n_docs"], m3["n_appends"], m3["append_counts"]) == (5, 2, [1, 1])
+
+
 def test_pairs_against_index_equals_batch_cross_pairs(spark, tmp_path):
     """Randomized-corpus equivalence armor (round 8): probing the
     persisted index with a batch must produce EXACTLY the

@@ -166,6 +166,11 @@ def test_pair_generators_never_cartesian(spark):
     p = _plan(DQ.q_crosscorpus_neardup(spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
 
+    # ... and the exact-digest index probe: one (shard, digest,
+    # digest2) equi-join, id inequality as a residual filter
+    p = _plan(DQ.q_crosscorpus_exact(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
 
 def test_cluster_resolution_equi_joins_only(spark):
     """Hash-min label propagation must be equi-joins + groupBy.min:

@@ -772,3 +772,64 @@ def test_ingest_dedup_stream_incremental(spark, tmp_path):
     assert kept2 == {12, 22}  # drain-2 re-processed nothing from drain 1
     m2 = dedup._read_mh_manifest(idx)
     assert (m2["n_docs"], m2["n_appends"]) == (4, 2)
+
+
+def test_ingest_dedup_exact_prefilter(spark, tmp_path):
+    """Drain with the exact-digest pre-filter: byte-identical (modulo
+    normalization) copies land in flagged_exact and are dropped BEFORE
+    the MinHash probe — the near-dup flagged set must not contain them
+    — while genuinely-near (not exact) dups still flow to the near
+    stage. Survivors fold into BOTH indexes; a second drain catches an
+    exact copy of a drain-1 survivor, proving the exact index grew."""
+    from intent_classifier_service_spark.operators import dedup
+
+    idx = str(tmp_path / "idx")
+    ex_idx = str(tmp_path / "ex_idx")
+    in_dir = str(tmp_path / "ingest")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    old = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different standing document about engines")],
+        "doc_id long, text string")
+    dedup.build_minhash_index(old, idx)
+    dedup.build_exact_index(old, ex_idx)
+
+    spark.createDataFrame(
+        [(11, "  The QUICK brown fox jumps over the  lazy dog"),  # exact
+         (12, "an entirely different standing document about engines "
+              "expanded"),                                       # near dup of 2
+         (13, "completely novel ingest text nothing like the corpus")],
+        "doc_id long, text string").write.mode("append").parquet(in_dir)
+    VS.run_ingest_dedup(spark, in_dir, idx, out, ckpt, threshold=0.5,
+                        exact_index_path=ex_idx)
+
+    ex_flagged = {(r["id_new"], r["id_indexed"], r["n_indexed_copies"])
+                  for r in spark.read.parquet(
+                      f"{out}/flagged_exact").collect()}
+    assert ex_flagged == {(11, 1, 1)}
+    near_flagged = {(r["id_new"], r["id_indexed"])
+                    for r in spark.read.parquet(f"{out}/flagged").collect()}
+    # 12 reaches the near stage; 11 was cut before any signature
+    assert near_flagged == {(12, 2)}
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/kept").collect()}
+    assert kept == {13}
+    assert dedup._read_mh_manifest(idx)["n_docs"] == 3
+    assert dedup._read_mh_manifest(ex_idx)["n_docs"] == 3
+
+    # drain 2: exact copy of drain-1 SURVIVOR 13 → caught by the
+    # exact index only because the survivor was folded in
+    spark.createDataFrame(
+        [(21, "Completely novel ingest TEXT nothing like the corpus")],
+        "doc_id long, text string").write.mode("append").parquet(in_dir)
+    VS.run_ingest_dedup(spark, in_dir, idx, out, ckpt, threshold=0.5,
+                        exact_index_path=ex_idx)
+    ex_flagged2 = {(r["id_new"], r["id_indexed"])
+                   for r in spark.read.parquet(
+                       f"{out}/flagged_exact").collect()}
+    assert ex_flagged2 == {(11, 1), (21, 13)}
+    # nothing new survived → kept and both manifests unchanged
+    assert {r["doc_id"] for r in spark.read.parquet(f"{out}/kept").collect()
+            } == {13}
+    assert dedup._read_mh_manifest(ex_idx)["n_docs"] == 3
