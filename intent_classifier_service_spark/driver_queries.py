@@ -1882,6 +1882,42 @@ SELECT id_a, id_b, CAST(0 AS INTEGER) AS hamming FROM prefix_pairs
 """
 
 
+def q_crosscorpus_simhash(spark, sf_dir):
+    """Cross-corpus incremental dedup, SIMHASH modality: the standing
+    corpus (even doc_ids, prefix corpus) persists once as 4×16-bit
+    band rows (dedup.build_simhash_index); the ingest batch (odd
+    doc_ids) probes with ONE (tbl, key) equi-join + bit_count verify
+    on the stored signatures. Oracle: identical prefixes → identical
+    simhash (hamming 0); no non-identical pair is within hamming ≤ 1
+    on this corpus (the q_simhash_pairs argument, verified empirically
+    at sf0.01 AND sf0.1) — so the result is exactly the odd×even
+    identical-prefix join at hamming 0. Index cached per-SF keyed on
+    the source file's mtime+size."""
+    import glob
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias("text"),
+    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(src)
+    path = (f"/tmp/spark_graft_sh_idx_"
+            f"{os.path.basename(os.path.normpath(sf_dir))}"
+            f"_{st.st_mtime_ns}_{st.st_size}")
+    if not glob.glob(os.path.join(path, "manifest.json")):
+        dedup.build_simhash_index(docs.filter(F.col("doc_id") % 2 == 0), path)
+    return dedup.simhash_pairs_against_index(
+        spark, path, docs.filter(F.col("doc_id") % 2 == 1), max_hamming=1)
+
+
+SQL_CROSSCORPUS_SIMHASH = _PREFIX_PAIRS_CTE + """
+SELECT n.doc_id AS id_new, i.doc_id AS id_indexed,
+       CAST(0 AS INTEGER) AS hamming
+FROM pref n JOIN pref i ON n.k = i.k
+WHERE n.doc_id % 2 = 1 AND i.doc_id % 2 = 0
+"""
+
+
 def _neardup_pair_graph(spark, sf_dir):
     """The near-dup pair graph the cluster-resolution queries resolve:
     REAL MinHash+LSH pairs on the prefix corpus (cliques of identical
@@ -3885,7 +3921,8 @@ QUERIES_HEAD = {
     # crosscorpus_exact displaced tpch_q4 (parked: the TPC-H family
     # already carries 17 fresh r07 rows; q4 rides its r06 row to r09).
     "crosscorpus_exact": (q_crosscorpus_exact, SQL_CROSSCORPUS_EXACT),
-    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
+    # crosscorpus_simhash displaced tpch_q5 (same rationale as q4)
+    "crosscorpus_simhash": (q_crosscorpus_simhash, SQL_CROSSCORPUS_SIMHASH),
     "tpch_q6": (q_tpch_q6, SQL_TPCH_Q6),
     "tpch_q13": (q_tpch_q13, SQL_TPCH_Q13),
     "tpch_q21": (q_tpch_q21, SQL_TPCH_Q21),
@@ -3959,6 +3996,7 @@ QUERIES_PARKED = {
     "tpch_q19": (q_tpch_q19, SQL_TPCH_Q19),
     "tpch_q20": (q_tpch_q20, SQL_TPCH_Q20),
     "tpch_q4": (q_tpch_q4, SQL_TPCH_Q4),
+    "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "strip_dup_paragraphs": (q_strip_dup_paragraphs, SQL_STRIP_DUP_PARAGRAPHS),
     "span_rule_verdicts": (q_span_rule_verdicts, SQL_SPAN_VERDICTS),
     "arrow_span_violations": (q_arrow_span_violations, SQL_ARROW_SPAN),

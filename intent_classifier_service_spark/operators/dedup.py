@@ -1078,15 +1078,16 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(F.col(id_col).alias("id"), sh(tok_hashes).alias("simhash"))
 
 
-def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
-                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
-    """Candidate pairs by 16-bit prefix tables, verified by popcount of
-    xor (bit_count is JVM-side)."""
-    # null-text docs all simhash to 0 → hamming 0 between *distinct*
-    # docs; exclude them (same rationale as minhash_lsh_pairs)
+def _simhash_banded(docs: DataFrame, id_col: str,
+                    text_col: str) -> DataFrame:
+    """(id, simhash, tbl, key): the 4×16-bit band table rows behind
+    both the self-join pair generator and the persisted index — by
+    pigeonhole any pair within Hamming ≤ 3 shares at least one band.
+    Null/blank-text docs are excluded (they all simhash to 0 → hamming
+    0 between *distinct* docs, same rationale as minhash_lsh_pairs)."""
     docs = docs.filter(F.size(tokens(text_col)) > 0)
     sh = simhash64(docs, id_col, text_col)
-    banded = sh.select(
+    return sh.select(
         "id",
         "simhash",
         F.explode(
@@ -1099,6 +1100,13 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
             ])
         ).alias("b"),
     ).select("id", "simhash", F.col("b.tbl").alias("tbl"), F.col("b.key").alias("key"))
+
+
+def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by 16-bit prefix tables, verified by popcount of
+    xor (bit_count is JVM-side)."""
+    banded = _simhash_banded(docs, id_col, text_col)
     a, b = banded.alias("a"), banded.alias("b")
     cand = (
         a.join(
@@ -1119,6 +1127,90 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= max_hamming
     )
+
+
+# --------------------------------- cross-corpus SimHash index
+#
+# Fourth incremental-ingest modality (exact digests, MinHash bands,
+# embedding LSH are the others): persist the 4×16-bit SimHash band
+# rows (id, simhash, tbl, key) — 4 rows × ~20 bytes/doc — and probe
+# with one (tbl, key) equi-join streamed from the batch, verified by
+# JVM bit_count on the stored 64-bit signatures. Same manifest
+# discipline as the MinHash index.
+
+
+def build_simhash_index(docs: DataFrame, path: str,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> dict:
+    """Persist the standing corpus' SimHash band rows as a probe-able
+    index under ``path``/tables (parquet partitioned by tbl) plus the
+    manifest. One corpus scan; texts never leave it."""
+    import os
+
+    banded = _simhash_banded(docs, id_col, text_col)
+    banded.write.mode("overwrite").partitionBy("tbl").parquet(
+        os.path.join(path, "tables"))
+    spark = docs.sparkSession
+    n_docs = (
+        spark.read.parquet(os.path.join(path, "tables"))
+        .select("id").distinct().count()
+    )
+    params = {"kind": "simhash", "id_col": id_col, "text_col": text_col}
+    return _write_mh_manifest(path, params, n_docs, 0, [])
+
+
+def simhash_pairs_against_index(spark, path: str, new_docs: DataFrame,
+                                max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs between an ingest batch and the
+    PERSISTED index: (id_new, id_indexed, hamming ≤ max_hamming).
+    Batch band rows equi-join the index on (tbl, key); the Hamming
+    verify is bit_count(xor) on the stored signatures. Within-index
+    pairs are never re-emitted and a re-ingested id never pairs with
+    itself — same contract as pairs_against_index."""
+    import os
+
+    m = _read_mh_manifest(path)
+    banded_new = _simhash_banded(new_docs, m["id_col"], m["text_col"])
+    idx = spark.read.parquet(os.path.join(path, "tables"))
+    n, i = banded_new.alias("n"), idx.alias("i")
+    cand = (
+        n.join(
+            i,
+            (F.col("n.tbl") == F.col("i.tbl"))
+            & (F.col("n.key") == F.col("i.key"))
+            & (F.col("n.id") != F.col("i.id")),
+        )
+        .select(
+            F.col("n.id").alias("id_new"),
+            F.col("i.id").alias("id_indexed"),
+            F.col("n.simhash").alias("sh_a"),
+            F.col("i.simhash").alias("sh_b"),
+        )
+        .dropDuplicates(["id_new", "id_indexed"])
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return cand.select("id_new", "id_indexed",
+                       hamming.alias("hamming")).filter(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def append_to_simhash_index(spark, path: str, new_docs: DataFrame) -> dict:
+    """Fold an ingest batch into the SimHash index: append its band
+    rows into the tbl partitions and bump the manifest counts."""
+    import os
+
+    m = _read_mh_manifest(path)
+    banded = _simhash_banded(
+        new_docs, m["id_col"], m["text_col"]).persist()
+    n_new = banded.select("id").distinct().count()
+    banded.write.mode("append").partitionBy("tbl").parquet(
+        os.path.join(path, "tables"))
+    banded.unpersist()
+    params = {k: m[k] for k in ("kind", "id_col", "text_col")}
+    return _write_mh_manifest(
+        path, params, m["n_docs"] + n_new, m["n_appends"] + 1,
+        m["append_counts"] + [n_new])
 
 
 # ------------------------------------------- substring-window exact dedup

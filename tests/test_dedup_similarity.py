@@ -477,6 +477,43 @@ def test_exact_index_lifecycle(spark, tmp_path):
     assert (m3["n_docs"], m3["n_appends"], m3["append_counts"]) == (5, 2, [1, 1])
 
 
+def test_simhash_index_lifecycle(spark, tmp_path):
+    """Cross-corpus SimHash index: build over the standing corpus,
+    probe with a batch (identical text → hamming 0 via a shared band;
+    re-ingested id never self-pairs; within-index pairs never
+    re-emitted), append, then probe a second batch that matches ONLY
+    an appended doc. Manifest counts at every step."""
+    old = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "an entirely different standing document about engines")],
+        "doc_id long, text string")
+    path = str(tmp_path / "sh_idx")
+    m = dedup.build_simhash_index(old, path)
+    assert (m["n_docs"], m["n_appends"], m["kind"]) == (2, 0, "simhash")
+
+    batch1 = spark.createDataFrame(
+        [(11, "the quick brown fox jumps over the lazy dog"),  # dup of 1
+         (12, "completely novel ingest text nothing like the corpus"),
+         (2, "an entirely different standing document about engines")],
+        "doc_id long, text string")  # id 2 re-ingested verbatim
+    got = {(r["id_new"], r["id_indexed"]): r["hamming"]
+           for r in dedup.simhash_pairs_against_index(
+               spark, path, batch1, max_hamming=3).collect()}
+    assert set(got) == {(11, 1)} and got[(11, 1)] == 0
+
+    kept = batch1.filter(F.col("doc_id") > 10)
+    m2 = dedup.append_to_simhash_index(spark, path, kept)
+    assert (m2["n_docs"], m2["n_appends"], m2["append_counts"]) == (4, 1, [2])
+
+    batch2 = spark.createDataFrame(
+        [(21, "completely novel ingest text nothing like the corpus")],
+        "doc_id long, text string")  # dup of APPENDED doc 12 only
+    got2 = {(r["id_new"], r["id_indexed"])
+            for r in dedup.simhash_pairs_against_index(
+                spark, path, batch2, max_hamming=3).collect()}
+    assert got2 == {(21, 12)}
+
+
 def test_pairs_against_index_equals_batch_cross_pairs(spark, tmp_path):
     """Randomized-corpus equivalence armor (round 8): probing the
     persisted index with a batch must produce EXACTLY the

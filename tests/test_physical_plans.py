@@ -171,6 +171,10 @@ def test_pair_generators_never_cartesian(spark):
     p = _plan(DQ.q_crosscorpus_exact(spark, SF))
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
 
+    # ... and the SimHash band-table index probe
+    p = _plan(DQ.q_crosscorpus_simhash(spark, SF))
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
 
 def test_cluster_resolution_equi_joins_only(spark):
     """Hash-min label propagation must be equi-joins + groupBy.min:
