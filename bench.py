@@ -76,6 +76,13 @@ def _headline_queries():
         # count (256 merges; the round-7 distributed path would pay
         # ~512 scheduled Spark rounds here)
         "bpe_train_256": _q_bpe_train_256,
+        # round-8: cross-corpus incremental-ingest probes against the
+        # persisted indexes (even ids standing / odd ids ingested; the
+        # /tmp index is built on the first sample and reused after —
+        # min-of-k therefore tracks the steady-state PROBE cost, which
+        # is the continuous-ingest number that matters)
+        "crosscorpus_neardup": DQ.q_crosscorpus_neardup,
+        "crosscorpus_exact": DQ.q_crosscorpus_exact,
     }
 
 
