@@ -1882,6 +1882,44 @@ SELECT id_a, id_b, CAST(0 AS INTEGER) AS hamming FROM prefix_pairs
 """
 
 
+def q_lm_quality_scores(spark, sf_dir):
+    """CCNet-style unigram-LM perplexity scoring (Wenzek et al.
+    1911.00359 at unigram grain): every doc's average negative
+    log-prob + perplexity under the add-1-smoothed unigram model of
+    the corpus itself. The oracle replicates the whole computation —
+    same counts, same smoothing scalars, and the per-doc log-prob sum
+    in the SAME sorted order on both engines (FP addition order is
+    the cross-engine hash-breaker); avg_nll rounds to 6 and ppl
+    derives from the rounded avg on both sides."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return textstats.lm_doc_scores(docs)
+
+
+SQL_LM_QUALITY = """
+WITH tk AS (
+  SELECT doc_id, t.token
+  FROM documents,
+       unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS t(token)
+  WHERE t.token <> ''
+), cnt AS (
+  SELECT token, count(*) AS c FROM tk GROUP BY token
+), scal AS (
+  SELECT CAST(sum(c) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS v
+  FROM cnt
+), lps AS (
+  SELECT tk.doc_id,
+         ln((cnt.c + CAST(1.0 AS DOUBLE)) / (scal.total + scal.v + 1)) AS lp
+  FROM tk JOIN cnt USING (token), scal
+), agg AS (
+  SELECT doc_id AS id, CAST(count(*) AS BIGINT) AS n_tokens,
+         round(-list_aggregate(list_sort(list(lp)), 'sum') / count(*), 6)
+           AS avg_nll
+  FROM lps GROUP BY doc_id
+)
+SELECT id, n_tokens, avg_nll, round(exp(avg_nll), 4) AS ppl FROM agg
+"""
+
+
 def q_crosscorpus_simhash(spark, sf_dir):
     """Cross-corpus incremental dedup, SIMHASH modality: the standing
     corpus (even doc_ids, prefix corpus) persists once as 4×16-bit
@@ -3929,7 +3967,9 @@ QUERIES_HEAD = {
     "tpch_q22": (q_tpch_q22, SQL_TPCH_Q22),
     "text_normalize": (q_text_normalize, SQL_TEXT_NORMALIZE),
     "eval_cooccurrence": (q_eval_cooccurrence, SQL_EVAL_COOC),
-    "dense_ids_event_types": (q_dense_ids_event_types, SQL_DENSE_IDS),
+    # lm_quality_scores displaced dense_ids_event_types (single-purpose
+    # filler; rides its r06 row to the round-9 swap-back)
+    "lm_quality_scores": (q_lm_quality_scores, SQL_LM_QUALITY),
     "sample_capped_per_group": (q_sample_capped_per_group, SQL_SAMPLE_CAPPED),
     "eval_averaged": (q_eval_averaged, SQL_EVAL_AVERAGED),
     "uniqueness_lineitem_orderkey": (q_uniqueness_lineitem_orderkey, SQL_UNIQUENESS),
@@ -3999,6 +4039,7 @@ QUERIES_PARKED = {
     "tpch_q5": (q_tpch_q5, SQL_TPCH_Q5),
     "strip_dup_paragraphs": (q_strip_dup_paragraphs, SQL_STRIP_DUP_PARAGRAPHS),
     "span_rule_verdicts": (q_span_rule_verdicts, SQL_SPAN_VERDICTS),
+    "dense_ids_event_types": (q_dense_ids_event_types, SQL_DENSE_IDS),
     "arrow_span_violations": (q_arrow_span_violations, SQL_ARROW_SPAN),
     "response_validation": (q_response_validation, SQL_RESPONSE_VALIDATION),
     "eval_per_class_prf": (q_eval_per_class_prf, SQL_EVAL_PRF),

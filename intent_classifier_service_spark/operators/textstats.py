@@ -303,3 +303,70 @@ def word_topk(docs: DataFrame, col: str = "text", k: int = 20) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("word"))
         .limit(k)
     )
+
+
+# ------------------------------------------ unigram-LM quality scoring
+#
+# CCNet-style (Wenzek et al. 1911.00359) perplexity filtering at
+# unigram grain: train token counts on a (clean) corpus, score every
+# doc by its average negative log-probability under the add-k-smoothed
+# unigram model — high perplexity ≈ unnatural text, the standard
+# LLM-pipeline quality gate between the heuristic rules and dedup.
+
+
+def unigram_counts(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(token, c): the unigram LM's sufficient statistics. One corpus
+    scan + one groupBy on the token (map-side combined, vocab-sized
+    output — Zipf means the shuffle rows collapse hard)."""
+    return (
+        docs.select(F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def lm_doc_scores(docs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", lm: DataFrame | None = None,
+                  add_k: float = 1.0) -> DataFrame:
+    """(id, n_tokens, avg_nll, ppl) per doc: average negative natural
+    log-probability and perplexity under the add-k unigram model.
+    ``lm`` is a (token, c) frame from unigram_counts — pass the CLEAN
+    reference corpus' counts to score an ingest batch the CCNet way;
+    None self-scores ``docs``. OOV tokens get the smoothed floor
+    k / (total + k*(V+1)).
+
+    Scale shape: the vocab is Zipf-bounded (millions of rows, not
+    corpus-sized) → broadcast to the exploded-token join, so the only
+    shuffle is the per-doc re-aggregation, and THAT collapses map-side
+    to one partial row per doc (a doc's exploded tokens stay in its
+    scan partition). The model's two scalars (total, V) are a 1-row
+    metadata collect, same discipline as the drift baselines.
+
+    Engine-portable determinism: per-doc log-probs are summed in
+    SORTED order via an explicit fold (FP addition order is the
+    cross-engine hash-breaker — see CLAUDE.md); avg_nll rounds to 6
+    and ppl derives from the ROUNDED avg on both engines."""
+    counts = lm if lm is not None else unigram_counts(docs, text_col)
+    total, v = counts.agg(
+        F.sum("c").cast("long"), F.count(F.lit(1))).first()
+    denom = float(total) + add_k * (float(v) + 1.0)
+    lp = F.log((F.coalesce(F.col("c"), F.lit(0)).cast("double")
+                + F.lit(float(add_k))) / F.lit(denom))
+    tok = (
+        docs.select(F.col(id_col).alias("id"),
+                    F.explode(tokens(text_col)).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    scored = tok.join(F.broadcast(counts), "token", "left")
+    per_doc = (
+        scored.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_tokens"),
+             F.sort_array(F.collect_list(lp)).alias("_lps"))
+    )
+    nll = -F.aggregate(
+        "_lps", F.lit(0.0), lambda acc, x: acc + x)
+    avg_nll = F.round(nll / F.col("n_tokens"), 6)
+    return per_doc.select(
+        "id", "n_tokens", avg_nll.alias("avg_nll")
+    ).withColumn("ppl", F.round(F.exp(F.col("avg_nll")), 4))

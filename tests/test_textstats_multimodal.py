@@ -175,3 +175,54 @@ def test_extract_audio_features_plumbing(spark):
     assert ok["duration_sec"] == 1.0
     assert 0 < ok["rms"] < 1 and 0 < ok["peak"] <= 1 and 0 < ok["zcr"] < 1
     assert rows["d2"]["decode_error"] is not None
+
+
+def test_lm_doc_scores_exact_arithmetic(spark):
+    """Self-scored unigram LM pinned against a pure-Python reference:
+    counts, add-1 smoothing scalars, sorted-order log-prob sums, the
+    round-6 avg and the derived perplexity."""
+    import math
+
+    rows = [(1, "a a b"), (2, "b c"), (3, "  "), (4, "A  a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["id"]: (r["n_tokens"], r["avg_nll"], r["ppl"])
+           for r in textstats.lm_doc_scores(docs).collect()}
+
+    # reference: tokens lowercased on \s+, blanks dropped
+    toks = {1: ["a", "a", "b"], 2: ["b", "c"], 4: ["a", "a"]}
+    cnt = {"a": 4, "b": 2, "c": 1}
+    total, v = 7, 3
+    denom = total + 1.0 * (v + 1)
+
+    assert set(got) == {1, 2, 4}  # blank doc 3 emits nothing
+    for d, ts in toks.items():
+        lps = sorted(math.log((cnt[t] + 1.0) / denom) for t in ts)
+        s = 0.0
+        for x in lps:
+            s += x
+        avg = round(-s / len(ts), 6)
+        assert got[d] == (len(ts), avg, round(math.exp(avg), 4))
+
+
+def test_lm_doc_scores_foreign_lm_oov_floor(spark):
+    """CCNet shape: a CLEAN corpus trains the counts, an ingest batch
+    is scored against them — OOV tokens get the smoothed floor
+    k/(total + k(V+1)), so an all-OOV doc scores exactly
+    -ln(1/denom) per token and ranks worst."""
+    import math
+
+    clean = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    lm = textstats.unigram_counts(clean)
+    batch = spark.createDataFrame(
+        [(10, "a b"), (11, "zz qq")], "doc_id long, text string")
+    got = {r["id"]: (r["n_tokens"], r["avg_nll"])
+           for r in textstats.lm_doc_scores(batch, lm=lm).collect()}
+
+    total, v = 5, 3
+    denom = total + 1.0 * (v + 1)
+    floor_nll = round(-math.log(1.0 / denom), 6)
+    in_nll = round(-(math.log(3.0 / denom) + math.log(3.0 / denom)) / 2, 6)
+    assert got[11] == (2, floor_nll)
+    assert got[10] == (2, in_nll)
+    assert got[11][1] > got[10][1]  # OOV doc ranks worse
