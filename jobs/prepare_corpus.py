@@ -9,6 +9,8 @@ job is the wiring):
                                  token-run grain, cut audit persisted
                                  to output/substring_cuts)
     → quality filter            (textstats.quality_score threshold)
+    → optional LM ppl gate      (--max-ppl: CCNet-style unigram-LM
+                                 perplexity filter, self-scored)
     → exact dedup               (dedup.exact_dedup, min-id survivor)
     → near-dup dedup            (minhash LSH pairs → clusters → survivor)
     → leakage-safe split        (cluster-keyed hash split: a train doc's
@@ -75,6 +77,7 @@ def _parse_weights(s: str) -> dict[str, float]:
 def run(spark, docs, output: str, max_tokens: int = 2048,
         splits: dict[str, float] | None = None,
         min_quality: float | None = None,
+        max_ppl: float | None = None,
         neardup: bool = False,
         mixture: dict[str, float] | None = None,
         mixture_total_tokens: int | None = None,
@@ -141,11 +144,24 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
         docs = kept
         _stage("quality_gate")
 
+    # -- optional unigram-LM perplexity gate (CCNet stage: self-scored
+    # here — at deployment pass a clean reference corpus' counts) ------
+    if max_ppl is not None:
+        bad = (
+            textstats.lm_doc_scores(docs)
+            .filter(F.col("ppl") > max_ppl)
+            .select(F.col("id").alias("doc_id"))
+        )
+        summary["n_ppl_dropped"] = bad.count()
+        docs = docs.join(bad, "doc_id", "left_anti")
+        _stage("ppl_gate")
+
     # -- exact dedup (hash of normalized text, min-id survivor) ----------
     exact = dedup.exact_dedup(docs)
     n_exact = exact.count()
     summary["n_exact_dup_dropped"] = (
-        n_in - summary.get("n_quality_dropped", 0) - n_exact)
+        n_in - summary.get("n_quality_dropped", 0)
+        - summary.get("n_ppl_dropped", 0) - n_exact)
     _stage("exact_dedup")
 
     # -- near-dup dedup + clusters (clusters also key the split) ---------
@@ -299,6 +315,9 @@ def main() -> int:
     ap.add_argument("--max-tokens", type=int, default=2048)
     ap.add_argument("--splits", default="train=0.9,val=0.05,test=0.05")
     ap.add_argument("--min-quality", type=float, default=None)
+    ap.add_argument("--max-ppl", type=float, default=None,
+                    help="unigram-LM perplexity gate (CCNet stage): "
+                         "drop docs whose self-scored ppl exceeds this")
     ap.add_argument("--neardup", action="store_true",
                     help="MinHash near-dup dedup + cluster-keyed split")
     ap.add_argument("--mixture", default=None,
@@ -336,6 +355,7 @@ def main() -> int:
         spark, docs, args.output, max_tokens=args.max_tokens,
         splits=_parse_weights(args.splits),
         min_quality=args.min_quality,
+        max_ppl=args.max_ppl,
         neardup=args.neardup,
         mixture=_parse_weights(args.mixture) if args.mixture else None,
         mixture_total_tokens=args.mixture_total_tokens,

@@ -204,3 +204,34 @@ def test_prepare_corpus_tokenizer_roundtrip(spark, tmp_path):
           spark.read.parquet(os.path.join(out2, "tokenizer"))
           .orderBy("rank").collect()]
     assert t1 == t2
+
+def test_prepare_corpus_ppl_gate(spark, tmp_path):
+    """--max-ppl drops exactly the gibberish doc: a corpus of docs
+    built from a small shared vocabulary plus ONE doc of
+    corpus-unique tokens; the threshold is picked between the scored
+    populations, so the gate's effect is fully determined."""
+    from intent_classifier_service_spark.operators import textstats
+
+    rows = [(i, "the cat sat on the mat near the door " * 3, "en")
+            for i in range(12)]
+    # keep two exact-identical rows apart so dedup still has work
+    rows.append((100, "zxq wvu tsr qpo nml kji hgf edc ba " * 2, "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    scores = {r["id"]: r["ppl"]
+              for r in textstats.lm_doc_scores(docs).collect()}
+    normal_max = max(v for k, v in scores.items() if k != 100)
+    assert scores[100] > normal_max  # gibberish really ranks worse
+    thr = (scores[100] + normal_max) / 2
+
+    out = str(tmp_path / "prep")
+    summary = prepare_corpus.run(
+        spark, docs, out, max_tokens=64, max_ppl=thr,
+        splits={"train": 1.0})
+    assert summary["n_ppl_dropped"] == 1
+    corpus = spark.read.parquet(os.path.join(out, "corpus"))
+    assert corpus.filter(F.col("doc_id") == 100).count() == 0
+    # accounting stays exact through the extra stage
+    assert corpus.count() == (summary["n_input_docs"] - 1
+                              - summary["n_exact_dup_dropped"])
+    assert "ppl_gate" in summary["stage_secs"]
