@@ -83,6 +83,8 @@ def _headline_queries():
         # is the continuous-ingest number that matters)
         "crosscorpus_neardup": DQ.q_crosscorpus_neardup,
         "crosscorpus_exact": DQ.q_crosscorpus_exact,
+        # round-8: CCNet-style unigram-LM scoring (train + score in one)
+        "lm_quality_scores": DQ.q_lm_quality_scores,
     }
 
 
