@@ -3905,20 +3905,23 @@ SQL_BPE_TRAIN_FIRST3 = _bpe_sql_first3()
 # tests/test_oracle_parity.py::test_driver_window_exactly_filled);
 # QUERIES_PARKED holds the rest, strict-parity-checked every session
 # via tools/strict_parity.py. Round-8 rotation (round-7 verdict #2):
-# a near-full swap — the head carries (a) the 45 queries whose newest
+# a near-full swap — the head carries (a) the queries whose newest
 # driver rows are r06 (everything parked through round 7: the neardup/
 # minhash family — which also sits on this round's _banded_signatures
 # refactor — the multimodal trio, the span-rule trio, the second
-# TPC-H block q1/q4-q6/q13/q21/q22, eval/sampling/stats fillers, and
-# the round-7 strict-parity-only pair ivf_topk_quantized +
-# split_leakage_audit) plus the two NEW round-8 queries
-# (bpe_train_first3 — the trainer's selection logic under the oracle —
-# and crosscorpus_neardup — the persisted MinHash band index probe),
-# and (b) 5 r07-green queries re-verified because their modules
-# changed this round (bpe.py size-gated trainer refactor; dedup.py
-# banded-signature extraction): bpe_merge_candidates,
-# dedup_exact_prefix, paragraph_dedup, duplicate_window_stats,
-# strip_dup_windows. Everything else parks on fresh r07-green rows.
+# TPC-H block, eval/sampling/stats fillers, and the round-7
+# strict-parity-only pair ivf_topk_quantized + split_leakage_audit)
+# plus the SIX NEW round-8 queries (bpe_train_first3 — the trainer's
+# selection logic under the oracle — and the cross-corpus index
+# probes crosscorpus_{neardup, embedding_neardup, exact, simhash},
+# and lm_quality_scores — CCNet unigram-LM scoring; the late three
+# displaced tpch_q4/tpch_q5/dense_ids_event_types, which ride their
+# r06 rows to the round-9 swap-back), and (b) 5 r07-green queries
+# re-verified because their modules changed this round (bpe.py
+# size-gated trainer refactor; dedup.py banded-signature extraction):
+# bpe_merge_candidates, dedup_exact_prefix, paragraph_dedup,
+# duplicate_window_stats, strip_dup_windows. Everything else parks on
+# fresh r07-green rows.
 DRIVER_WINDOW = 50
 
 QUERIES_HEAD = {
