@@ -177,6 +177,30 @@ def _apply_window_strip(docs, k: int, min_run_tokens: int):
     return _rebuild_spans(docs, ex, stripped), viol
 
 
+def _lm_ppl_violations(docs, max_ppl: float):
+    """R-LM-PPL violation rows (--max-ppl): TEXT span units whose
+    self-scored unigram-LM perplexity (textstats.lm_doc_scores, the
+    CCNet quality stage) exceeds the threshold. Pure flagging — the
+    corpus is NOT rewritten; verdicts describe the original text, the
+    gate decides. Same global-transform contract as the strips: the
+    LM trains on the FULL corpus view, so resume reruns it whole."""
+    from intent_classifier_service_spark.operators import textstats as T
+
+    _ex, units = _text_span_units(docs)
+    flagged = T.lm_doc_scores(units, id_col="_uid", text_col="text") \
+        .filter(F.col("ppl") > max_ppl)
+    return flagged.select(
+        F.col("id.part_key").alias("part_key"),
+        F.col("id.doc_id").alias("doc_id"),
+        F.lit("R-LM-PPL").alias("rule_id"),
+        F.col("id._pos").cast("int").alias("span_index"),
+        F.format_string("ppl=%.4f,n_tokens=%d",
+                        F.col("ppl"), F.col("n_tokens")).alias("observed"),
+        F.format_string("unigram-LM perplexity <= %.4f",
+                        F.lit(float(max_ppl))).alias("expected"),
+    )
+
+
 def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = None,
         resume: bool = False, rules: R.RuleSet | None = None,
         baseline: str | None = None, snapshot_id: str = "parquet-v0",
@@ -185,13 +209,16 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         para_min_chars: int = 30,
         strip_dup_windows: bool = False,
         window_k: int = 8,
-        min_run_tokens: int = 50) -> dict:
+        min_run_tokens: int = 50,
+        max_ppl: float | None = None) -> dict:
     rules = rules or R.RuleSet()
     t0 = time.time()
     para_viol = None
     n_para_viol = None
     win_viol = None
     n_win_viol = None
+    lm_viol = None
+    n_lm_viol = None
     if strip_dup_paragraphs:
         # boilerplate strip BEFORE rule validation: verdicts/violations
         # describe the STRIPPED corpus; the duplicate-paragraph
@@ -208,6 +235,10 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         # 100 TB this would be a parquet write+read; in-process the
         # persist is the same plan cut.
         docs = docs.persist()
+    if max_ppl is not None:
+        # LM perplexity flagging on the POST-strip corpus — rows only,
+        # text untouched
+        lm_viol = _lm_ppl_violations(docs, max_ppl)
     docs_all = docs  # the legacy (non-incremental) resume path scans it
     done_keys: list[int] = []
     if store is not None and resume:
@@ -320,10 +351,13 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
     if win_viol is not None:
         # R-SUBSTR-DUP rides the same global-transform contract
         all_v = all_v.unionByName(win_viol.select(*all_v.columns))
+    if lm_viol is not None:
+        # R-LM-PPL rides the same global-transform contract
+        all_v = all_v.unionByName(lm_viol.select(*all_v.columns))
     tables.write_violations(all_v, os.path.join(output, "violations"),
                             partition_by=("rule_id", "part_key"),
                             dynamic=resuming)
-    if para_viol is not None or win_viol is not None:
+    if para_viol is not None or win_viol is not None or lm_viol is not None:
         # summary counts from the just-written sink — re-counting the
         # lazy viol frames would re-run the whole strip explode/join
         # subtree a second time
@@ -334,6 +368,9 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         if win_viol is not None:
             n_win_viol = written.filter(
                 F.col("rule_id") == "R-SUBSTR-DUP").count()
+        if lm_viol is not None:
+            n_lm_viol = written.filter(
+                F.col("rule_id") == "R-LM-PPL").count()
 
     # one scan for per-partition verdicts; global verdicts are a rollup
     # of the tiny per-partition table, not a second pass over the docs.
@@ -549,6 +586,9 @@ def run(spark, docs, valid_refs, output: str, store: CheckpointStore | None = No
         out["substring_dedup"] = {"window_k": window_k,
                                   "min_run_tokens": min_run_tokens,
                                   "n_cut_intervals": n_win_viol}
+    if n_lm_viol is not None:
+        out["lm_ppl"] = {"max_ppl": max_ppl,
+                         "n_flagged_spans": n_lm_viol}
     return out
 
 
@@ -590,6 +630,10 @@ def main() -> int:
     ap.add_argument("--min-run-tokens", type=int, default=50,
                     help="minimum duplicated run length (tokens) cut by "
                          "--strip-dup-windows (Lee et al. use 50)")
+    ap.add_argument("--max-ppl", type=float, default=None,
+                    help="flag text spans whose self-scored unigram-LM "
+                         "perplexity exceeds this as R-LM-PPL violation "
+                         "rows (CCNet quality stage; text untouched)")
     args = ap.parse_args()
 
     spark = get_spark("validate")
@@ -639,7 +683,8 @@ def main() -> int:
                  para_min_chars=args.para_min_chars,
                  strip_dup_windows=args.strip_dup_windows,
                  window_k=args.window_k,
-                 min_run_tokens=args.min_run_tokens)
+                 min_run_tokens=args.min_run_tokens,
+                 max_ppl=args.max_ppl)
     print(json.dumps(result))
     return 0 if result["gate_pass"] else 1
 

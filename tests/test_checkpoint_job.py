@@ -234,3 +234,39 @@ def test_validate_job_strip_dup_windows(spark, tmp_path):
     v = spark.read.parquet(os.path.join(out, "violations"))
     assert v.filter(F.col("rule_id") == "R-SUBSTR-DUP").count() == n_sink
     assert n_sink >= n_run_spans - 1
+
+
+def test_validate_job_lm_ppl_flags(spark, tmp_path):
+    """--max-ppl: the job flags EXACTLY the text spans whose
+    self-scored unigram-LM perplexity exceeds the threshold — the
+    expected (doc_id, span_index) set is derived from the oracled
+    operator itself, the threshold placed between the two highest
+    distinct ppl values so the set is non-empty, non-total and
+    tie-stable. Text is untouched (flagging, not stripping)."""
+    from intent_classifier_service_spark.operators import textstats
+
+    docs = datagen.documents_spans(spark, 300)
+    _ex, units = validate._text_span_units(docs)
+    scores = textstats.lm_doc_scores(units, id_col="_uid",
+                                     text_col="text").collect()
+    vals = sorted({r["ppl"] for r in scores}, reverse=True)
+    assert len(vals) >= 3
+    thr = (vals[0] + vals[1]) / 2  # flags only the top distinct ppl
+    expected = {(r["id"]["doc_id"], r["id"]["_pos"])
+                for r in scores if r["ppl"] > thr}
+    assert 0 < len(expected) < len(scores)
+
+    out = str(tmp_path / "out")
+    r = validate.run(spark, docs, datagen.valid_media_refs(spark), out,
+                     max_ppl=thr)
+    assert r["gate_pass"] is True
+    assert r["lm_ppl"]["max_ppl"] == thr
+    assert r["lm_ppl"]["n_flagged_spans"] == len(expected)
+    v = spark.read.parquet(os.path.join(out, "violations")).filter(
+        F.col("rule_id") == "R-LM-PPL")
+    got = {(row["doc_id"], row["span_index"])
+           for row in v.select("doc_id", "span_index").collect()}
+    assert got == expected
+    # observed payload carries the score; text was not rewritten
+    assert all(row["observed"].startswith("ppl=")
+               for row in v.select("observed").collect())
