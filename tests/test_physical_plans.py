@@ -176,6 +176,16 @@ def test_pair_generators_never_cartesian(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
 
 
+def test_lm_scoring_vocab_broadcasts(spark):
+    """The unigram-LM scorer must join exploded tokens to a BROADCAST
+    vocab (Zipf-bounded) — a SortMergeJoin here would shuffle the whole
+    token stream, the 100 TB scale killer for this operator."""
+    p = _plan(DQ.q_lm_quality_scores(spark, SF))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
+
+
 def test_cluster_resolution_equi_joins_only(spark):
     """Hash-min label propagation must be equi-joins + groupBy.min:
     gate one propagation round (the loop's localCheckpoint truncation
