@@ -268,3 +268,53 @@ def run_ingest_dedup(spark: SparkSession, in_dir: str, index_path: str,
         .start()
     )
     q.awaitTermination()
+
+
+def run_ingest_embedding_dedup(
+        spark: SparkSession, in_dir: str, index_path: str,
+        out_dir: str, checkpoint_dir: str,
+        threshold: float = 0.95,
+        append_survivors: bool = True,
+        vec_schema: str = "vec_id long, embedding array<float>") -> None:
+    """The EMBEDDING-modality twin of run_ingest_dedup: drain new
+    vector files from ``in_dir`` (Trigger.AvailableNow + source
+    checkpoint — re-running processes only files added since the last
+    run) and per micro-batch run the literal batch probe
+    similarity.embedding_pairs_against_index against the persisted
+    hyperplane-LSH index. Flagged pairs → out_dir/flagged (id_new,
+    id_indexed, cosine, batch_id); surviving vectors → out_dir/kept;
+    survivors fold into the index so later batches AND later runs
+    dedup against them. Same at-least-once sink caveat as the text
+    drain (batch_id makes replays detectable)."""
+    from ..operators import similarity as S
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if batch_df.isEmpty():
+                return
+            pairs = S.embedding_pairs_against_index(
+                spark, index_path, batch_df, threshold=threshold,
+            ).persist()
+            pairs.withColumn("batch_id", F.lit(batch_id)) \
+                .write.mode("append").parquet(f"{out_dir}/flagged")
+            dup_ids = pairs.select(
+                F.col("id_new").alias("vec_id")).distinct()
+            kept = batch_df.join(dup_ids, "vec_id", "left_anti").persist()
+            kept.withColumn("batch_id", F.lit(batch_id)) \
+                .write.mode("append").parquet(f"{out_dir}/kept")
+            if append_survivors:
+                S.append_to_embedding_index(spark, index_path, kept)
+            kept.unpersist()
+            pairs.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    q = (
+        spark.readStream.schema(vec_schema).parquet(in_dir)
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

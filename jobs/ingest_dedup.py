@@ -20,6 +20,11 @@ batch_id: byte-identical copies caught by the digest probe before any
 signature is computed). Prints ONE JSON summary line; exit 0 on
 success.
 
+--modality embedding drains VECTOR files instead: the persisted
+hyperplane-LSH index (similarity.build_embedding_index) is probed per
+micro-batch with exact-cosine verify against the stored vectors, and
+survivors fold in — the embedding twin of the text drain.
+
 Scale shape: the standing corpus is probed, never re-paired — each
 drain costs one (band, bucket) equi-join streamed from the batch side
 plus one signature append. The index IS the state: 16 band partitions
@@ -58,7 +63,9 @@ def main() -> int:
                     help="ingest directory of parquet document files")
     ap.add_argument("--output", default=None)
     ap.add_argument("--checkpoint", default=None)
-    ap.add_argument("--threshold", type=float, default=0.7)
+    ap.add_argument("--threshold", type=float, default=None,
+                    help="flag threshold; defaults per modality "
+                         "(text est_jaccard 0.7, embedding cosine 0.95)")
     ap.add_argument("--no-append", action="store_true",
                     help="probe only: do not fold survivors into the "
                          "index")
@@ -67,16 +74,29 @@ def main() -> int:
                          "byte-identical (modulo normalization) copies "
                          "are flagged and dropped BEFORE the near-dup "
                          "probe; built alongside the MinHash index "
-                         "under --build-from")
+                         "under --build-from (text modality only)")
+    ap.add_argument("--modality", choices=("text", "embedding"),
+                    default="text",
+                    help="text: MinHash band index over (doc_id, text); "
+                         "embedding: hyperplane-LSH index over (vec_id, "
+                         "embedding array<float>) with exact-cosine "
+                         "verify (threshold is a cosine, e.g. 0.95)")
     args = ap.parse_args()
+    if args.modality == "embedding" and args.exact_index:
+        ap.error("--exact-index applies to the text modality only")
 
     spark = get_spark("ingest_dedup")
     t0 = time.time()
 
     if args.build_from:
         docs = spark.read.parquet(args.build_from)
-        manifest = dedup.build_minhash_index(docs, args.index)
-        out = {"mode": "build", "index": args.index, **manifest}
+        if args.modality == "embedding":
+            from intent_classifier_service_spark.operators import similarity
+            manifest = similarity.build_embedding_index(docs, args.index)
+        else:
+            manifest = dedup.build_minhash_index(docs, args.index)
+        out = {"mode": "build", "modality": args.modality,
+               "index": args.index, **manifest}
         if args.exact_index:
             ex_manifest = dedup.build_exact_index(docs, args.exact_index)
             out["exact_index"] = args.exact_index
@@ -89,11 +109,19 @@ def main() -> int:
         ap.error("--input/--output/--checkpoint required unless "
                  "--build-from")
 
-    VS.run_ingest_dedup(
-        spark, args.input, args.index, args.output, args.checkpoint,
-        threshold=args.threshold,
-        append_survivors=not args.no_append,
-        exact_index_path=args.exact_index)
+    if args.modality == "embedding":
+        thr = 0.95 if args.threshold is None else args.threshold
+        VS.run_ingest_embedding_dedup(
+            spark, args.input, args.index, args.output, args.checkpoint,
+            threshold=thr,
+            append_survivors=not args.no_append)
+    else:
+        thr = 0.7 if args.threshold is None else args.threshold
+        VS.run_ingest_dedup(
+            spark, args.input, args.index, args.output, args.checkpoint,
+            threshold=thr,
+            append_survivors=not args.no_append,
+            exact_index_path=args.exact_index)
 
     def _n(path: str) -> int:
         try:

@@ -833,3 +833,60 @@ def test_ingest_dedup_exact_prefilter(spark, tmp_path):
     assert {r["doc_id"] for r in spark.read.parquet(f"{out}/kept").collect()
             } == {13}
     assert dedup._read_mh_manifest(ex_idx)["n_docs"] == 3
+
+
+def test_ingest_embedding_dedup_stream(spark, tmp_path):
+    """EMBEDDING-modality drain (run_ingest_embedding_dedup): drain 1
+    flags the vector duplicating the standing index at cosine ~1 and
+    folds survivors in; drain 2 processes only the newly arrived file
+    and flags a copy of a drain-1 SURVIVOR — the index grew between
+    runs. Orthogonal unit vectors can never clear the 0.95 bar, so the
+    expected sets are exact."""
+    from intent_classifier_service_spark.operators import dedup, similarity
+
+    idx = str(tmp_path / "vidx")
+    in_dir = str(tmp_path / "vingest")
+    out = str(tmp_path / "vout")
+    ckpt = str(tmp_path / "vckpt")
+
+    def vec(axis):
+        v = [0.0] * 8
+        v[axis] = 1.0
+        return v
+
+    old = spark.createDataFrame(
+        [(1, vec(0)), (2, vec(1))], "vec_id long, embedding array<float>")
+    similarity.build_embedding_index(old, idx)
+
+    spark.createDataFrame(
+        [(11, vec(0)),   # dup of standing vector 1
+         (12, vec(2))],  # genuinely new axis
+        "vec_id long, embedding array<float>").write.mode("append") \
+        .parquet(in_dir)
+    VS.run_ingest_embedding_dedup(spark, in_dir, idx, out, ckpt,
+                                  threshold=0.95)
+
+    flagged = spark.read.parquet(f"{out}/flagged")
+    got = {(r["id_new"], r["id_indexed"]): r["cosine"]
+           for r in flagged.collect()}
+    assert set(got) == {(11, 1)} and got[(11, 1)] > 0.999
+    kept = {r["vec_id"] for r in spark.read.parquet(f"{out}/kept").collect()}
+    assert kept == {12}
+    m = dedup._read_mh_manifest(idx)
+    assert (m["n_docs"], m["n_appends"]) == (3, 1)
+
+    # second arrival: copy of drain-1 SURVIVOR 12 + a fresh axis
+    spark.createDataFrame(
+        [(21, vec(2)), (22, vec(3))],
+        "vec_id long, embedding array<float>").write.mode("append") \
+        .parquet(in_dir)
+    VS.run_ingest_embedding_dedup(spark, in_dir, idx, out, ckpt,
+                                  threshold=0.95)
+    flagged2 = {(r["id_new"], r["id_indexed"])
+                for r in spark.read.parquet(f"{out}/flagged").collect()}
+    assert flagged2 == {(11, 1), (21, 12)}
+    kept2 = {r["vec_id"]
+             for r in spark.read.parquet(f"{out}/kept").collect()}
+    assert kept2 == {12, 22}
+    m2 = dedup._read_mh_manifest(idx)
+    assert (m2["n_docs"], m2["n_appends"]) == (4, 2)
