@@ -948,7 +948,8 @@ def neardup_dedup(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   id_a: str = "id_a", id_b: str = "id_b",
                   max_iter: int = 20, survivor: str = "min_id",
                   score_col: str | None = None,
-                  driver_edge_threshold: int = 1_000_000) -> DataFrame:
+                  driver_edge_threshold: int = 1_000_000,
+                  clusters: DataFrame | None = None) -> DataFrame:
     """The dedup DECISION applied: one surviving row per connected
     component of the pair graph, all of ``docs``' columns preserved,
     non-candidates untouched. A~B, B~C ⇒ exactly one of {A,B,C}
@@ -969,9 +970,18 @@ def neardup_dedup(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
           (−score, id) — map-side combinable, no window sort; the
           score lookup joins the candidates-only cluster table against
           the corpus (AQE broadcasts the small side).
+
+    ``clusters`` (round-9 perf): pass a precomputed
+    neardup_clusters(pairs) result to reuse it instead of resolving
+    the components again — callers that need BOTH the cluster table
+    and the deduped corpus (e.g. jobs/prepare_corpus: clusters key the
+    leakage-safe split) were paying the full pair-generation +
+    resolution twice. Identical output by construction (the argument
+    replaces an identical internal call).
     """
-    clusters = neardup_clusters(pairs, id_a, id_b, max_iter,
-                                driver_edge_threshold)
+    if clusters is None:
+        clusters = neardup_clusters(pairs, id_a, id_b, max_iter,
+                                    driver_edge_threshold)
     if survivor == "min_id":
         losers = clusters.filter(F.col("id") != F.col("cluster_id")).select(
             F.col("id").alias(id_col)

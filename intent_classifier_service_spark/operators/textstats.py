@@ -334,38 +334,115 @@ def lm_doc_scores(docs: DataFrame, id_col: str = "doc_id",
     ``lm`` is a (token, c) frame from unigram_counts — pass the CLEAN
     reference corpus' counts to score an ingest batch the CCNet way;
     None self-scores ``docs``. OOV tokens get the smoothed floor
-    k / (total + k*(V+1)).
+    k / (total + k*(V+1)). ``docs`` must carry unique ids (every call
+    site does: table keys / span-unit uids) — scoring is per ROW.
 
-    Scale shape: the vocab is Zipf-bounded (millions of rows, not
-    corpus-sized) → broadcast to the exploded-token join, so the only
-    shuffle is the per-doc re-aggregation, and THAT collapses map-side
-    to one partial row per doc (a doc's exploded tokens stay in its
-    scan partition). The model's two scalars (total, V) are a 1-row
-    metadata collect, same discipline as the drift baselines.
+    Scale shape (round-9: ZERO-shuffle scoring pass): the vocab is
+    Zipf-bounded (millions of rows, not corpus-sized — never
+    corpus-sized), so its (token, log-prob) table collects once and
+    ships as a Spark broadcast dict to one mapInPandas over
+    (id, token-array) — the exact pattern bpe.apply_merges uses. The
+    previous plan's per-doc groupBy re-aggregation shipped EVERY
+    token's log-prob through a doc-keyed Exchange (~8 B × corpus token
+    count — at 100 TB, a 100+ TB shuffle for a per-doc scalar); a
+    doc's tokens never leave their scan partition, so the kernel
+    scores each doc in place and the scoring subtree has NO Exchange
+    at all (plan-gated in tests/test_physical_plans.py). The only
+    remaining shuffle is unigram_counts' vocab-sized groupBy — the
+    model's sufficient statistics, which any implementation pays.
 
-    Engine-portable determinism: per-doc log-probs are summed in
-    SORTED order via an explicit fold (FP addition order is the
-    cross-engine hash-breaker — see CLAUDE.md); avg_nll rounds to 6
-    and ppl derives from the ROUNDED avg on both engines."""
+    Engine-portable determinism, preserved bit-for-bit vs the old
+    plan: per-token log-probs are computed by the SAME JVM expression
+    (F.log over the counts frame — Java Math.log, not libm) before
+    the collect; tokenization stays in the JVM (same tokens() split);
+    the kernel only sorts ascending and left-folds from 0.0 — the
+    identical FP op sequence as sort_array + F.aggregate; avg_nll /
+    ppl derive from the raw sum via the same F.round / F.exp
+    expressions as before (FP addition order is the cross-engine
+    hash-breaker — see CLAUDE.md)."""
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    spark = docs.sparkSession
     counts = lm if lm is not None else unigram_counts(docs, text_col)
-    total, v = counts.agg(
-        F.sum("c").cast("long"), F.count(F.lit(1))).first()
+    # ONE vocab-sized collect (token, c); the model scalars derive
+    # driver-side from it (exact integer sum — longs, no FP). The
+    # log-probs must come from the SAME JVM expression the old plan
+    # evaluated (Java Math.log, not libm), so they are computed on a
+    # driver-built frame of the DISTINCT count values (Zipf: far fewer
+    # than the vocab; c=0 rides along as the OOV floor — the old
+    # coalesce(c,0) path) and joined back by count driver-side.
+    count_rows = counts.collect()
+    total = sum(r[1] for r in count_rows)
+    v = len(count_rows)
     denom = float(total) + add_k * (float(v) + 1.0)
-    lp = F.log((F.coalesce(F.col("c"), F.lit(0)).cast("double")
-                + F.lit(float(add_k))) / F.lit(denom))
-    tok = (
-        docs.select(F.col(id_col).alias("id"),
-                    F.explode(tokens(text_col)).alias("token"))
-        .filter(F.col("token") != "")
+    distinct_cs = sorted({r[1] for r in count_rows} | {0})
+    if len(distinct_cs) <= 4096:
+        # F.log is bitwise StrictMath.log (verified on this platform's
+        # Spark — NOT Math.log, NOT libm); the (c+k)/denom argument is
+        # add/divide only, which IEEE rounds identically everywhere, so
+        # a py4j StrictMath.log per DISTINCT count reproduces the old
+        # expression exactly without scheduling a Spark job.
+        jlog = spark.sparkContext._jvm.java.lang.StrictMath.log
+        c_to_lp = {c: jlog((float(c) + float(add_k)) / denom)
+                   for c in distinct_cs}
+    else:
+        lp_expr = F.log((F.col("c").cast("double") + F.lit(float(add_k)))
+                        / F.lit(denom))
+        c_to_lp = dict(
+            spark.createDataFrame([(c,) for c in distinct_cs], "c long")
+            .select("c", lp_expr.alias("lp")).collect()
+        )
+    lp_map = {r[0]: c_to_lp[r[1]] for r in count_rows}
+    oov_lp = c_to_lp[0]
+    bc = spark.sparkContext.broadcast((lp_map, oov_lp))
+
+    id_type = docs.schema[id_col].dataType
+    kernel_schema = StructType([
+        StructField("id", id_type),
+        StructField("n_tokens", LongType()),
+        StructField("_nll_sum", DoubleType()),
+    ])
+    # Tokens cross the Python boundary as ONE space-joined string per
+    # doc, not an Arrow list<string>: tokens cannot contain whitespace
+    # by construction (they were split on \s+, and ' ' is in \s), so
+    # str.split(" ") in the kernel reproduces the JVM token array
+    # byte-for-byte — and the flat-string Arrow transfer measured ~3x
+    # cheaper than the list-of-strings one on the bench corpus.
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        F.array_join(F.filter(tokens(text_col), lambda t: t != ""), " ")
+        .alias("_ts"),
     )
-    scored = tok.join(F.broadcast(counts), "token", "left")
-    per_doc = (
-        scored.groupBy("id")
-        .agg(F.count(F.lit(1)).alias("n_tokens"),
-             F.sort_array(F.collect_list(lp)).alias("_lps"))
-    )
-    nll = -F.aggregate(
-        "_lps", F.lit(0.0), lambda acc, x: acc + x)
+
+    def _score(batches):
+        lps, oov = bc.value
+        get = lps.get
+        for pdf in batches:
+            ids_out, ns, sums = [], [], []
+            for i, s in zip(pdf["id"], pdf["_ts"]):
+                if not s:  # null text or zero tokens: explode() emitted
+                    continue  # no rows for these docs in the old plan
+                # ascending sort + sequential left fold from 0.0 — the
+                # identical FP op sequence as sort_array + F.aggregate
+                # (never math.fsum/np.sum: compensated/pairwise
+                # summation changes the addition order)
+                vals = sorted(get(t, oov) for t in s.split(" "))
+                acc = 0.0
+                for x in vals:
+                    acc += x
+                ids_out.append(i)
+                ns.append(len(vals))
+                sums.append(acc)
+            if ids_out:
+                yield pd.DataFrame(
+                    {"id": ids_out,
+                     "n_tokens": pd.Series(ns, dtype="int64"),
+                     "_nll_sum": pd.Series(sums, dtype="float64")})
+
+    per_doc = toks.mapInPandas(_score, kernel_schema)
+    nll = -F.col("_nll_sum")
     avg_nll = F.round(nll / F.col("n_tokens"), 6)
     return per_doc.select(
         "id", "n_tokens", avg_nll.alias("avg_nll")

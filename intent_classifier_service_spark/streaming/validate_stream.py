@@ -228,6 +228,7 @@ def run_ingest_dedup(spark: SparkSession, in_dir: str, index_path: str,
     def _process(batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
         work = batch_df
+        ex = None
         try:
             if batch_df.isEmpty():
                 return
@@ -237,8 +238,11 @@ def run_ingest_dedup(spark: SparkSession, in_dir: str, index_path: str,
                 ex.withColumn("batch_id", F.lit(batch_id)) \
                     .write.mode("append").parquet(f"{out_dir}/flagged_exact")
                 ex_ids = ex.select(F.col("id_new").alias("doc_id")).distinct()
+                # ex stays persisted until the finally block: work is
+                # LAZY here, so unpersisting now would recompute the
+                # exact-probe join (index read + batch re-hash) at
+                # every downstream action that evaluates work
                 work = batch_df.join(ex_ids, "doc_id", "left_anti").persist()
-                ex.unpersist()
             pairs = D.pairs_against_index(
                 spark, index_path, work, threshold=threshold,
             ).persist()
@@ -256,6 +260,8 @@ def run_ingest_dedup(spark: SparkSession, in_dir: str, index_path: str,
             kept.unpersist()
             pairs.unpersist()
         finally:
+            if ex is not None:
+                ex.unpersist()
             if work is not batch_df:
                 work.unpersist()
             batch_df.unpersist()

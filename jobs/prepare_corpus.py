@@ -147,17 +147,26 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
     # -- optional unigram-LM perplexity gate (CCNet stage: self-scored
     # here — at deployment pass a clean reference corpus' counts) ------
     if max_ppl is not None:
+        # persist: the flagged set is consumed twice (count + the
+        # left_anti below) — without it the whole scoring pass (vocab
+        # groupBy + collect + scoring scan) re-runs per consumer
         bad = (
             textstats.lm_doc_scores(docs)
             .filter(F.col("ppl") > max_ppl)
             .select(F.col("id").alias("doc_id"))
+            .persist()
         )
         summary["n_ppl_dropped"] = bad.count()
         docs = docs.join(bad, "doc_id", "left_anti")
         _stage("ppl_gate")
 
     # -- exact dedup (hash of normalized text, min-id survivor) ----------
-    exact = dedup.exact_dedup(docs)
+    # persist: every downstream stage re-reads this frame (the count
+    # here, MinHash pair generation, the dedup anti-join's corpus side,
+    # and the split/tokenize chain down to the corpus write) — without
+    # it each action re-pays the scan + digest groupBy + semi-join.
+    # At 100 TB materialize to parquet instead (same plan shape).
+    exact = dedup.exact_dedup(docs).persist()
     n_exact = exact.count()
     summary["n_exact_dup_dropped"] = (
         n_in - summary.get("n_quality_dropped", 0)
@@ -169,7 +178,10 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
     if neardup:
         pairs = dedup.minhash_lsh_pairs(exact.select("doc_id", "text"))
         clusters = dedup.neardup_clusters(pairs)
-        deduped = dedup.neardup_dedup(exact, pairs)
+        # reuse the resolved clusters — the old call resolved the
+        # components (and re-ran the whole MinHash pair generation)
+        # a second time inside neardup_dedup
+        deduped = dedup.neardup_dedup(exact, pairs, clusters=clusters)
         summary["n_neardup_dropped"] = n_exact - deduped.count()
         _stage("neardup_dedup")
     else:
@@ -232,6 +244,9 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
             "n_ws_tokens", "n_tokens")
     corpus = corpus.persist()  # feeds budget + mixture + packing
     corpus.write.mode("overwrite").parquet(os.path.join(output, "corpus"))
+    exact.unpersist()  # corpus is materialized; nothing reads exact now
+    if max_ppl is not None:
+        bad.unpersist()
     _stage("split_tokenize_corpus_write")
 
     # -- token budget report ---------------------------------------------

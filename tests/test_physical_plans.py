@@ -176,12 +176,17 @@ def test_pair_generators_never_cartesian(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
 
 
-def test_lm_scoring_vocab_broadcasts(spark):
-    """The unigram-LM scorer must join exploded tokens to a BROADCAST
-    vocab (Zipf-bounded) — a SortMergeJoin here would shuffle the whole
-    token stream, the 100 TB scale killer for this operator."""
+def test_lm_scoring_zero_shuffle(spark):
+    """The unigram-LM SCORING pass must be shuffle-free (round-9): one
+    mapInPandas over (id, token-array) with the broadcast vocab dict —
+    NO Exchange anywhere in the scoring subtree. The old plan's
+    per-doc collect_list re-aggregation shipped every token's log-prob
+    through a doc-keyed Exchange (~corpus-sized shuffle at 100 TB for
+    a per-doc scalar), and the previous gate (BroadcastHashJoin
+    present) guarded the wrong axis — the join was never the problem."""
     p = _plan(DQ.q_lm_quality_scores(spark, SF))
-    assert "BroadcastHashJoin" in p
+    assert "MapInPandas" in p
+    assert "Exchange" not in p
     assert "SortMergeJoin" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
 
