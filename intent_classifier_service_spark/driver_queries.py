@@ -38,6 +38,24 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _tw(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """_t + repartition ONLY when the input arrives under-split — the
+    derived_spans discipline (see its docstring) applied at the source
+    for queries whose per-row compute is heavy (shingling, MinHash
+    kernels, token-window explodes, PII regexes): the test tables are
+    single-row-group parquet files (one input split, indivisible by
+    maxPartitionBytes), so without this the whole compute stage runs
+    on one core of local[32]. At 100 TB the scan has thousands of real
+    splits and the branch never fires. Used selectively — for cheap
+    scan-dominated queries the extra exchange costs more than the
+    parallelism buys (A/B-measured per query, see OPTIMIZATION_r09.md)."""
+    df = _t(spark, sf_dir, name)
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------- span deriv
 
 def derived_spans(docs: DataFrame) -> DataFrame:
@@ -1716,7 +1734,7 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     (max non-identical prefix overlap ≪ 58/64 matching minhashes) — so
     the oracle is the identical-normalized-prefix self-join. Verified
     empirically at sf0.01 and sf0.1 via tools/strict_parity.py."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tw(spark, sf_dir, "documents").select(
         "doc_id",
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias("text"),
     )
@@ -1964,7 +1982,7 @@ def _neardup_pair_graph(spark, sf_dir):
     structure: edges (d, d+1) for d % 10 < 4 chain docs {10k..10k+4}
     together even though e.g. 10k and 10k+3 share no edge — exactly
     the A~B, B~C ⇒ one cluster case pair lists can't answer."""
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tw(spark, sf_dir, "documents").select(
         "doc_id",
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias("text"),
     )
@@ -2039,7 +2057,7 @@ def q_decontaminate(spark, sf_dir):
     sf0.01: 27 flagged of which 2 are non-benchmark docs). Oracle:
     full n-gram membership computation in DuckDB (string equality; the
     engine's xxhash64 join is collision-free at these set sizes)."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tw(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 20 == 0)
     return dedup.contaminated_docs(docs, bench, n=8)
 
@@ -3238,7 +3256,7 @@ def q_pii_scrub(spark, sf_dir):
     arithmetic runs on both engines (the derived_spans technique), so
     the scrubbed text and counts hash-compare value-for-value. Returns
     only the docs that had PII (the violation-row convention)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _tw(spark, sf_dir, "documents")
     d = F.col("doc_id")
     injected = F.concat(
         F.col("text"),
@@ -3670,7 +3688,7 @@ def q_duplicate_window_stats(spark, sf_dir):
     duplicated token run — Lee et al. ExactSubstr grain between
     paragraph_dedup and whole-doc near-dup."""
     return dedup.duplicate_window_stats(
-        _t(spark, sf_dir, "documents"), k=8)
+        _tw(spark, sf_dir, "documents"), k=8)
 
 
 SQL_DUPLICATE_WINDOW_STATS = _WIN_CTE + """

@@ -378,7 +378,7 @@ def minhash_signatures(docs: DataFrame, id_col: str = "doc_id",
 
 def _banded_signatures(docs: DataFrame, id_col: str, text_col: str,
                        num_hashes: int, bands: int, shingle_n: int,
-                       seed: int) -> DataFrame:
+                       seed: int, sigs: DataFrame | None = None) -> DataFrame:
     """(id, sig, band, bucket): MinHash signatures exploded into their
     LSH band buckets — the shared candidate-key frame of
     minhash_lsh_pairs (self-join) and the persisted cross-corpus index
@@ -387,10 +387,17 @@ def _banded_signatures(docs: DataFrame, id_col: str, text_col: str,
     qualifies) all share the sentinel signature: two *distinct* such
     docs would collide in every band with est_jaccard 1.0, a false
     positive. Shingle-Jaccard is undefined on empty sets, so they are
-    excluded here."""
+    excluded here.
+
+    ``sigs`` (round-9 perf): a precomputed (id, sig) frame — the
+    banding explode is then derived from it without re-running the
+    shingle + MinHash kernel (the self-join caller materializes sigs
+    ONCE and derives both sides)."""
     r = num_hashes // bands
-    docs = docs.filter(F.size(shingles(text_col, shingle_n)) > 0)
-    sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, seed)
+    if sigs is None:
+        docs = docs.filter(F.size(shingles(text_col, shingle_n)) > 0)
+        sigs = minhash_signatures(docs, id_col, text_col, num_hashes,
+                                  shingle_n, seed)
     return sigs.select(
         "id",
         "sig",
@@ -431,11 +438,35 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     slice); candidates = pairs sharing ≥1 bucket; verify with the
     signature-level Jaccard estimate (fraction of equal minhashes) —
     at scale the verify happens on 8-byte×num_hashes arrays, not texts.
+
+    Round-9 plan shape (same rows, ~2x less work):
+
+    * the signatures materialize ONCE (localCheckpoint) and both
+      self-join sides derive from that — the lazy self-join evaluated
+      the whole shingle + MinHash Arrow kernel twice, once per side
+      (the broadcast build side shares no Exchange to reuse);
+    * the Jaccard estimate is computed per COLLISION row and the
+      threshold filter runs BEFORE the pair dedup, so the dedup
+      Exchange carries (id_a, id_b, est) — 24 bytes — instead of both
+      512-byte signatures, and the aggregate is a HashAggregate
+      rather than the Sort+SortAggregate the array payload forced
+      (guide §2.3: project/filter before the exchange). A pair's est
+      is identical in every band it collides in, so distinct() over
+      the triple equals the old dedup-then-estimate result exactly.
+
+    On a cluster prefer setCheckpointDir + .checkpoint() for the
+    materialization (survives executor loss); localCheckpoint is the
+    local-mode form, same as neardup_clusters' iteration state.
     """
+    d = docs.filter(F.size(shingles(text_col, shingle_n)) > 0)
+    sigs = minhash_signatures(
+        d, id_col, text_col, num_hashes, shingle_n, seed).localCheckpoint()
     banded = _banded_signatures(
-        docs, id_col, text_col, num_hashes, bands, shingle_n, seed)
+        None, id_col, text_col, num_hashes, bands, shingle_n, seed,
+        sigs=sigs)
     a = banded.alias("a")
     b = banded.alias("b")
+    est = _sig_jaccard_est(F.col("a.sig"), F.col("b.sig"), num_hashes)
     cand = (
         a.join(
             b,
@@ -446,15 +477,10 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    est = _sig_jaccard_est(num_hashes=num_hashes)
-    return cand.select("id_a", "id_b", est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= threshold
-    )
+    return cand.filter(F.col("est_jaccard") >= threshold).distinct()
 
 
 # ----------------------------------- cross-corpus incremental dedup
