@@ -46,6 +46,20 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # Dims (class dim, valid media_refs) must broadcast, never shuffle.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate adds `size(e)>0 AND e IS NOT NULL`
+        # below every non-outer explode. When the generator input is a
+        # DERIVED array (the span derivation, shingle construction),
+        # predicate pushdown then drags that filter below projections
+        # and exchanges, INLINING the whole array-construction
+        # expression into the filter — the heavy derivation runs twice
+        # more, in the narrow pre-shuffle stage (measured 4-5.5x on the
+        # span/referential family). The filter is semantically
+        # redundant (Generate already drops null/empty arrays); for
+        # stored-array scans it prunes nothing list stats could not
+        # (A/B: no regression). Excluded session-wide.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
