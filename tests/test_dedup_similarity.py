@@ -588,3 +588,38 @@ def test_embedding_index_lifecycle(spark, tmp_path):
             for r in similarity.embedding_pairs_against_index(
                 spark, path, batch2, threshold=0.95).collect()}
     assert got2 == {(21, 12)}
+
+
+def test_shingles_zip_form_matches_let_bound(spark):
+    """The UDF-arg-safe zip-with shingle construction (let_bound=False,
+    round-9: O(n·w) instead of the old inline form's O(w²)) must be
+    value-identical to the let-bound slice form on every edge case:
+    n > token count (whole-text fallback), single token, empty and
+    null text, repeated windows (array_distinct), multi-space runs."""
+    rows = [(1, "a b c d e"), (2, "a"), (3, ""), (4, None),
+            (5, "  x   y  "), (6, "a b"), (7, "a b c"),
+            (8, "r s r s r s r s"), (9, "Q w E r T y U i O p")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (2, 3, 8):
+        bad = docs.select(
+            dedup.shingles("text", n).alias("lb"),
+            dedup.shingles("text", n, let_bound=False).alias("zip"),
+        ).filter(~F.col("lb").eqNullSafe(F.col("zip"))).count()
+        assert bad == 0, f"n={n}"
+
+
+def test_minhash_signatures_udf_arg_compiles_and_segments(spark):
+    """minhash_signatures feeds the zip-form shingles straight into its
+    pandas UDF (the let-bound form is a Spark 4.1 codegen
+    INTERNAL_ERROR as a UDF argument) — pin that the plan executes and
+    that identical texts still get identical signatures while disjoint
+    texts differ."""
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "the quick brown fox jumps over the lazy dog"),
+         (3, "entirely different words with no overlap at all here")],
+        "doc_id long, text string")
+    sigs = {r["id"]: tuple(r["sig"])
+            for r in dedup.minhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
