@@ -988,7 +988,7 @@ def q_crosscorpus_embedding_neardup(spark, sf_dir):
     cached per-SF keyed on the source's mtime+size."""
     import glob
 
-    emb = _t(spark, sf_dir, "embeddings").select(
+    emb = _tw(spark, sf_dir, "embeddings").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
     src = os.path.join(sf_dir, "embeddings.parquet")
@@ -1773,7 +1773,7 @@ def q_crosscorpus_neardup(spark, sf_dir):
     source file's mtime+size (same discipline as the IVF queries)."""
     import glob
 
-    docs = _t(spark, sf_dir, "documents").select(
+    docs = _tw(spark, sf_dir, "documents").select(
         "doc_id",
         F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " ").alias("text"),
     )

@@ -586,6 +586,14 @@ def pairs_against_index(spark, path: str, new_docs: DataFrame,
     idx = spark.read.parquet(os.path.join(path, "bands"))
     n = banded_new.alias("n")
     i = idx.alias("i")
+    # est per collision + filter BEFORE the pair dedup (round-9, same
+    # transformation as minhash_lsh_pairs): the dedup exchange then
+    # carries 24-byte triples instead of both 512-byte signatures and
+    # hash-aggregates instead of sort-aggregating; a pair's est is
+    # identical in every band it collides in, so distinct() over the
+    # triple equals the old dedup-then-estimate rows exactly.
+    est = _sig_jaccard_est(F.col("n.sig"), F.col("i.sig"),
+                           m["num_hashes"])
     cand = (
         n.join(
             i,
@@ -596,16 +604,10 @@ def pairs_against_index(spark, path: str, new_docs: DataFrame,
         .select(
             F.col("n.id").alias("id_new"),
             F.col("i.id").alias("id_indexed"),
-            F.col("n.sig").alias("sig_a"),
-            F.col("i.sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
-        .dropDuplicates(["id_new", "id_indexed"])
     )
-    est = _sig_jaccard_est(num_hashes=m["num_hashes"])
-    return cand.select("id_new", "id_indexed",
-                       est.alias("est_jaccard")).filter(
-        F.col("est_jaccard") >= threshold
-    )
+    return cand.filter(F.col("est_jaccard") >= threshold).distinct()
 
 
 def append_to_minhash_index(spark, path: str,
@@ -1131,15 +1133,20 @@ def simhash64(docs: DataFrame, id_col: str = "doc_id",
     return docs.select(F.col(id_col).alias("id"), sh(tok_hashes).alias("simhash"))
 
 
-def _simhash_banded(docs: DataFrame, id_col: str,
-                    text_col: str) -> DataFrame:
+def _simhash_banded(docs: DataFrame, id_col: str, text_col: str,
+                    sh: DataFrame | None = None) -> DataFrame:
     """(id, simhash, tbl, key): the 4×16-bit band table rows behind
     both the self-join pair generator and the persisted index — by
     pigeonhole any pair within Hamming ≤ 3 shares at least one band.
     Null/blank-text docs are excluded (they all simhash to 0 → hamming
-    0 between *distinct* docs, same rationale as minhash_lsh_pairs)."""
-    docs = docs.filter(F.size(tokens(text_col)) > 0)
-    sh = simhash64(docs, id_col, text_col)
+    0 between *distinct* docs, same rationale as minhash_lsh_pairs).
+
+    ``sh`` (round-9 perf): a precomputed (id, simhash) frame — band
+    rows derive from it without re-running the token-hash kernel (the
+    self-join caller materializes once, derives both sides)."""
+    if sh is None:
+        docs = docs.filter(F.size(tokens(text_col)) > 0)
+        sh = simhash64(docs, id_col, text_col)
     return sh.select(
         "id",
         "simhash",
@@ -1158,9 +1165,18 @@ def _simhash_banded(docs: DataFrame, id_col: str,
 def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
                        text_col: str = "text", max_hamming: int = 3) -> DataFrame:
     """Candidate pairs by 16-bit prefix tables, verified by popcount of
-    xor (bit_count is JVM-side)."""
-    banded = _simhash_banded(docs, id_col, text_col)
+    xor (bit_count is JVM-side). Round-9: the signatures materialize
+    once (localCheckpoint) and both self-join sides derive from them —
+    the lazy self-join ran the token-hash kernel twice — and the
+    Hamming verify + filter run per collision BEFORE the pair dedup
+    (identical per band, so distinct() over the triple equals the old
+    dedup-then-verify rows; same transformation as minhash_lsh_pairs)."""
+    d = docs.filter(F.size(tokens(text_col)) > 0)
+    sh = simhash64(d, id_col, text_col).localCheckpoint()
+    banded = _simhash_banded(None, id_col, text_col, sh=sh)
     a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     cand = (
         a.join(
             b,
@@ -1171,15 +1187,10 @@ def simhash_near_pairs(docs: DataFrame, id_col: str = "doc_id",
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    return cand.filter(F.col("hamming") <= max_hamming).distinct()
 
 
 # --------------------------------- cross-corpus SimHash index
@@ -1226,6 +1237,10 @@ def simhash_pairs_against_index(spark, path: str, new_docs: DataFrame,
     banded_new = _simhash_banded(new_docs, m["id_col"], m["text_col"])
     idx = spark.read.parquet(os.path.join(path, "tables"))
     n, i = banded_new.alias("n"), idx.alias("i")
+    # verify + filter per collision before the pair dedup (round-9,
+    # same transformation as pairs_against_index)
+    hamming = F.bit_count(
+        F.col("n.simhash").bitwiseXOR(F.col("i.simhash")))
     cand = (
         n.join(
             i,
@@ -1236,16 +1251,10 @@ def simhash_pairs_against_index(spark, path: str, new_docs: DataFrame,
         .select(
             F.col("n.id").alias("id_new"),
             F.col("i.id").alias("id_indexed"),
-            F.col("n.simhash").alias("sh_a"),
-            F.col("i.simhash").alias("sh_b"),
+            hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_new", "id_indexed"])
     )
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return cand.select("id_new", "id_indexed",
-                       hamming.alias("hamming")).filter(
-        F.col("hamming") <= max_hamming
-    )
+    return cand.filter(F.col("hamming") <= max_hamming).distinct()
 
 
 def append_to_simhash_index(spark, path: str, new_docs: DataFrame) -> dict:

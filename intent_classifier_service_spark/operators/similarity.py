@@ -846,6 +846,20 @@ def embedding_pairs_against_index(spark, path: str,
     idx = spark.read.parquet(os.path.join(path, "bands"))
     n = banded_new.alias("n")
     i = idx.alias("i")
+    # exact-cosine verify + filter per collision BEFORE the pair dedup
+    # (round-9, same transformation as pairs_against_index): the dedup
+    # exchange then carries (id, id, cosine) instead of both stored
+    # vectors (2×dim×8 B per row) and hash-aggregates instead of
+    # sort-aggregating over array payloads; a pair's cosine is
+    # identical in every band it collides in, so distinct() over the
+    # triple equals the old dedup-then-verify rows exactly.
+    va, vb = F.col(f"n.{vec_col}"), F.col(f"i.{vec_col}")
+    dot = F.aggregate(F.zip_with(va, vb, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(va, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(vb, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
     cand = (
         n.join(
             i,
@@ -856,21 +870,10 @@ def embedding_pairs_against_index(spark, path: str,
         .select(
             F.col(f"n.{id_col}").alias("id_new"),
             F.col(f"i.{id_col}").alias("id_indexed"),
-            F.col(f"n.{vec_col}").alias("_va"),
-            F.col(f"i.{vec_col}").alias("_vb"),
+            (dot / F.greatest(na * nb, F.lit(1e-12))).alias("cosine"),
         )
-        .dropDuplicates(["id_new", "id_indexed"])
     )
-    dot = F.aggregate(F.zip_with("_va", "_vb", lambda x, y: x * y),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform("_va", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform("_vb", lambda x: x * x),
-                            F.lit(0.0), lambda acc, x: acc + x))
-    return cand.select(
-        "id_new", "id_indexed",
-        (dot / F.greatest(na * nb, F.lit(1e-12))).alias("cosine"),
-    ).filter(F.col("cosine") >= threshold)
+    return cand.filter(F.col("cosine") >= threshold).distinct()
 
 
 def append_to_embedding_index(spark, path: str,
