@@ -456,20 +456,22 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     signature-level Jaccard estimate (fraction of equal minhashes) —
     at scale the verify happens on 8-byte×num_hashes arrays, not texts.
 
-    Round-9 plan shape (same rows, ~2x less work):
+    Round-9 plan shape (same rows, decide-with-small-rows — guide §8):
 
-    * the signatures materialize ONCE (localCheckpoint) and both
-      self-join sides derive from that — the lazy self-join evaluated
-      the whole shingle + MinHash Arrow kernel twice, once per side
-      (the broadcast build side shares no Exchange to reuse);
-    * the Jaccard estimate is computed per COLLISION row and the
-      threshold filter runs BEFORE the pair dedup, so the dedup
-      Exchange carries (id_a, id_b, est) — 24 bytes — instead of both
-      512-byte signatures, and the aggregate is a HashAggregate
-      rather than the Sort+SortAggregate the array payload forced
-      (guide §2.3: project/filter before the exchange). A pair's est
-      is identical in every band it collides in, so distinct() over
-      the triple equals the old dedup-then-estimate result exactly.
+    * the signatures materialize ONCE (localCheckpoint) and everything
+      derives from that — the lazy self-join evaluated the whole
+      shingle + MinHash Arrow kernel twice, once per side (the
+      broadcast build side shares no Exchange to reuse);
+    * the band self-join carries ONLY (id, band, bucket) — the old
+      plan moved both 512-byte signatures through the join and the
+      pair-dedup Exchange (a corpus-sized signature broadcast/shuffle
+      at scale, Sort+SortAggregate from the array payload);
+    * candidate (id_a, id_b) pairs dedup as bare ids (HashAggregate,
+      16-byte rows), then the signatures attach back with two joins
+      against the checkpointed sig store — the pair set is
+      collision-bounded (≪ corpus), so AQE broadcasts it from exact
+      runtime stats and the sig store streams map-side;
+    * the Jaccard verify runs once per DEDUPED pair, as before.
 
     On a cluster prefer setCheckpointDir + .checkpoint() for the
     materialization (survives executor loss); localCheckpoint is the
@@ -480,24 +482,28 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
         d, id_col, text_col, num_hashes, shingle_n, seed).localCheckpoint()
     banded = _banded_signatures(
         None, id_col, text_col, num_hashes, bands, shingle_n, seed,
-        sigs=sigs)
+        sigs=sigs).select("id", "band", "bucket")
     a = banded.alias("a")
     b = banded.alias("b")
-    est = _sig_jaccard_est(F.col("a.sig"), F.col("b.sig"), num_hashes)
-    cand = (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            est.alias("est_jaccard"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
     )
-    return cand.filter(F.col("est_jaccard") >= threshold).distinct()
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    est = _sig_jaccard_est(num_hashes=num_hashes)
+    return (
+        sa.join(pairs, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= threshold)
+    )
 
 
 # ----------------------------------- cross-corpus incremental dedup
