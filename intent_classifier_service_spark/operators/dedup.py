@@ -287,9 +287,16 @@ def ngram_jaccard_pairs(docs: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("id"),
         shingles(text_col, n).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))
+    # materialize the hashed inverted index once (round-9): the lazy
+    # subtree is consumed up to four times (df-cap aggregation, the
+    # semi-join's stream side, both self-join sides), re-running the
+    # shingle construction + hash each time; checkpointed rows are
+    # (id, n_sh, hash) — 24 B per shingle, the same order as the
+    # shuffle this feeds. Cluster form: setCheckpointDir +
+    # .checkpoint(), as in neardup_clusters.
     inv = sh.select("id", "n_sh", F.explode("sh").alias("s")).withColumn(
         "s", F.xxhash64("s")
-    )
+    ).localCheckpoint()
     if max_shingle_df is not None:
         # pre-pass: shingle document frequency; broadcast-free semi-join
         # of the rare side (the df table is aggregated, tiny vs corpus)
