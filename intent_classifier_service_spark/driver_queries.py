@@ -1909,7 +1909,7 @@ def q_lm_quality_scores(spark, sf_dir):
     in the SAME sorted order on both engines (FP addition order is
     the cross-engine hash-breaker); avg_nll rounds to 6 and ppl
     derives from the rounded avg on both sides."""
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = _tw(spark, sf_dir, "documents").select("doc_id", "text")
     return textstats.lm_doc_scores(docs)
 
 

@@ -177,17 +177,20 @@ def test_pair_generators_never_cartesian(spark):
 
 
 def test_lm_scoring_zero_shuffle(spark):
-    """The unigram-LM SCORING pass must be shuffle-free (round-9): one
-    mapInPandas over (id, token-array) with the broadcast vocab dict —
-    NO Exchange anywhere in the scoring subtree. The old plan's
+    """The unigram-LM SCORING pass must be key-shuffle-free (round-9):
+    one mapInPandas over (id, token-string) with the broadcast vocab
+    dict — no hash-partitioned Exchange anywhere. The old plan's
     per-doc collect_list re-aggregation shipped every token's log-prob
     through a doc-keyed Exchange (~corpus-sized shuffle at 100 TB for
-    a per-doc scalar), and the previous gate (BroadcastHashJoin
-    present) guarded the wrong axis — the join was never the problem."""
+    a per-doc scalar), and the round-8 gate (BroadcastHashJoin
+    present) guarded the wrong axis — the join was never the problem.
+    The only Exchange permitted is _tw's RoundRobin under-split guard
+    above the scan, which vanishes at scale (fires only when the
+    input arrives with fewer splits than cores)."""
     p = _plan(DQ.q_lm_quality_scores(spark, SF))
     assert "MapInPandas" in p
-    assert "Exchange" not in p
-    assert "SortMergeJoin" not in p
+    assert "hashpartitioning" not in p
+    assert "SortMergeJoin" not in p and "BroadcastHashJoin" not in p
     assert "CartesianProduct" not in p and "BroadcastNestedLoop" not in p
 
 
