@@ -217,14 +217,18 @@ def test_cluster_resolution_equi_joins_only(spark):
     assert "LeftAnti" in p
 
 
-def test_q21_semi_anti_are_hash_joins(spark):
-    """The EXISTS/NOT EXISTS pair must compile to LeftSemi/LeftAnti
-    HASH joins on the l_orderkey equi key with the supplier inequality
-    as a residual condition — a BroadcastNestedLoopJoin (what a
-    non-equi-only condition produces) is the scale killer."""
+def test_q21_quantifiers_are_aggregates_single_fact_scan(spark):
+    """r9: the EXISTS/NOT-EXISTS pair compiles to per-order aggregates
+    over distinct (order, supplier) pairs — ONE lineitem scan (the join
+    form read the fact table three times and its semi/anti build sides
+    were full-fact projections: a corpus-sized broadcast or shuffle at
+    scale). Still no nested-loop/cartesian anywhere, the finished-order
+    restriction stays a semi hash join, and the fact table must appear
+    in exactly one scan node."""
     p = _plan(DQ.q_tpch_q21(spark, SF))
-    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "LeftSemi" in p
     assert "BroadcastNestedLoop" not in p and "CartesianProduct" not in p
+    assert p.count("lineitem.parquet") == 1
 
 
 def test_q13_outer_join_keeps_zero_order_customers(spark):
