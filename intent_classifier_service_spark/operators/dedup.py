@@ -838,16 +838,18 @@ def _compress_labels(labels: DataFrame) -> DataFrame:
     )
 
 
-def _driver_union_find(spark, edges: DataFrame, id_type) -> DataFrame:
+def _driver_union_find(spark, pdf, id_type) -> DataFrame:
     """Small-graph short-circuit: resolve connected components with a
-    driver-side union-find over the collected edge list. Union-by-min
-    (the larger root is linked under the smaller) makes every root the
-    MINIMUM id of its component — byte-identical semantics to the
-    distributed hash-min fixpoint, pytest-pinned equal. Path
-    compression keeps it near-linear; a few million edges resolve in
-    seconds where the iterative Spark path pays ~3 shuffles + a
-    checkpoint materialization PER ROUND in job-scheduling floor."""
-    pdf = edges.toPandas()
+    driver-side union-find over the collected (src, dst) PAIR list —
+    undirected, one row per edge; the caller does not symmetrize
+    (union-find needs each edge once, so collecting the symmetric form
+    would double the transfer for nothing). Union-by-min (the larger
+    root is linked under the smaller) makes every root the MINIMUM id
+    of its component — byte-identical semantics to the distributed
+    hash-min fixpoint, pytest-pinned equal. Path compression keeps it
+    near-linear; a few million edges resolve in seconds where the
+    iterative Spark path pays ~3 shuffles + a checkpoint
+    materialization PER ROUND in job-scheduling floor."""
     parent: dict = {}
 
     def find(x):
@@ -858,7 +860,9 @@ def _driver_union_find(spark, edges: DataFrame, id_type) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for a, b in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+    srcs = pdf["src"].tolist()
+    dsts = pdf["dst"].tolist()
+    for a, b in zip(srcs, dsts):
         ra, rb = find(a), find(b)
         if ra != rb:
             if rb < ra:
@@ -866,7 +870,9 @@ def _driver_union_find(spark, edges: DataFrame, id_type) -> DataFrame:
             parent[rb] = ra  # larger root under smaller → root = min id
     from pyspark.sql.types import StructField, StructType
 
-    rows = [(v, find(v)) for v in dict.fromkeys(pdf["src"].tolist())]
+    vertices = dict.fromkeys(srcs)
+    vertices.update(dict.fromkeys(dsts))
+    rows = [(v, find(v)) for v in vertices]
     schema = StructType([StructField("id", id_type),
                          StructField("cluster_id", id_type)])
     return spark.createDataFrame(rows, schema)
@@ -913,28 +919,38 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     backed, survives executor loss); localCheckpoint is the right call
     in local mode and keeps this function side-effect free.
     """
-    sym = pairs.select(
+    p = pairs.select(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionAll(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-    edges = sym.persist()  # re-joined every round; tiny vs corpus
+    ).persist()  # re-joined every round on the distributed path
     # Size-gated driver short-circuit: the candidate graph is usually
     # MUCH smaller than the corpus (dup candidates only). Below the
-    # threshold (symmetric-edge rows; ~16 bytes each → ≤ ~16 MB on the
-    # driver at the default), a driver-side union-find returns the
-    # identical min-id components without the per-round shuffle +
-    # checkpoint floor of the iterative path — the same small-graph
-    # fallback real CC systems use. The count materializes the persist
-    # the first propagation round would have paid anyway; the
-    # distributed path below is unchanged and takes over past the
-    # threshold (and is forced in tests via driver_edge_threshold=0).
-    n_edges = edges.count()
-    if n_edges <= driver_edge_threshold:
+    # threshold (expressed in symmetric-edge rows for compatibility;
+    # the probe gates on pair rows = threshold/2, the same boundary),
+    # a driver-side union-find returns the identical min-id components
+    # without the per-round shuffle + checkpoint floor of the
+    # iterative path — the same small-graph fallback real CC systems
+    # use. r9: ONE limit-probe collect replaces the old count-then-
+    # collect two-job gate — if the probe comes back within the
+    # threshold it IS the full (unsymmetrized) edge list, so the gate
+    # and the transfer share a single evaluation of the pair subtree;
+    # the old form also symmetrized BEFORE the gate, which put the
+    # lazy pair-generator subtree (band join + dedup + verify) in BOTH
+    # union branches and evaluated it twice per count. The distributed
+    # path below symmetrizes from the persisted pair cache instead
+    # (and takes over past the threshold; forced in tests via
+    # driver_edge_threshold=0).
+    pair_thr = driver_edge_threshold // 2
+    head = p.limit(pair_thr + 1).toPandas()
+    if len(head) <= pair_thr:
         try:
             return _driver_union_find(
-                pairs.sparkSession, edges, pairs.schema[id_a].dataType
+                pairs.sparkSession, head, pairs.schema[id_a].dataType
             )
         finally:
-            edges.unpersist()
+            p.unpersist()
+    edges = p.unionAll(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
     # Seeded init: label0(v) = min(v, min(neighbors(v))) — the state
     # after one propagation hop from self-labels, computed in the SAME
     # single shuffle the old distinct() init cost (sym is symmetric,
@@ -999,7 +1015,7 @@ def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             "pair generator"
         )
     finally:
-        edges.unpersist()
+        p.unpersist()
 
 
 def neardup_dedup(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
