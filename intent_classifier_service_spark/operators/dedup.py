@@ -419,9 +419,23 @@ def _banded_signatures(docs: DataFrame, id_col: str, text_col: str,
     ONCE and derives both sides)."""
     r = num_hashes // bands
     if sigs is None:
-        docs = docs.filter(F.size(shingles(text_col, shingle_n)) > 0)
+        # text IS NOT NULL ⇔ size(shingles(text)) > 0: the normalize →
+        # split chain is null-preserving and non-null text always
+        # yields ≥1 shingle (short texts fall back to the whole-text
+        # shingle) — the predicate form skips a full O(n·w) shingle
+        # construction per doc that existed only to be size()d (r9)
+        docs = docs.filter(F.col(text_col).isNotNull())
         sigs = minhash_signatures(docs, id_col, text_col, num_hashes,
                                   shingle_n, seed)
+    # bucket = xxhash64 over the band's r minhash LONGS directly (r9):
+    # the old form stringified the slice and hashed the joined text —
+    # 4x slower on the band explode, which the self-join evaluates on
+    # BOTH sides. The bucket value is an internal collision key only
+    # (candidates are est-verified afterwards), but it must stay
+    # consistent between an index build and its probes — both route
+    # through this one function, and the bench's /tmp-cached indexes
+    # are keyed on source-file identity, so rebuild them after any
+    # edit here.
     return sigs.select(
         "id",
         "sig",
@@ -429,9 +443,7 @@ def _banded_signatures(docs: DataFrame, id_col: str, text_col: str,
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda bi: F.xxhash64(
-                    F.concat_ws(",", F.transform(
-                        F.slice("sig", bi * r + 1, r), lambda v: v.cast("string")
-                    )),
+                    *[F.element_at("sig", bi * r + 1 + j) for j in range(r)],
                     bi,
                 ),
             )
@@ -484,7 +496,8 @@ def minhash_lsh_pairs(docs: DataFrame, id_col: str = "doc_id",
     materialization (survives executor loss); localCheckpoint is the
     local-mode form, same as neardup_clusters' iteration state.
     """
-    d = docs.filter(F.size(shingles(text_col, shingle_n)) > 0)
+    # equivalent to size(shingles(text)) > 0 — see _banded_signatures
+    d = docs.filter(F.col(text_col).isNotNull())
     sigs = minhash_signatures(
         d, id_col, text_col, num_hashes, shingle_n, seed).localCheckpoint()
     banded = _banded_signatures(
