@@ -250,17 +250,24 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
     _stage("split_tokenize_corpus_write")
 
     # -- token budget report ---------------------------------------------
+    # one aggregation pass feeds both the budget table and the summary:
+    # the (lang, split) rollup is langs × splits rows, so collect it
+    # once, write the collected rows back (no second corpus pass), and
+    # fold the per-split totals driver-side — the old form ran a
+    # second corpus-cache aggregation job just for summary totals
     budget = corpus.groupBy("lang", "split").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.sum("est_subword_tokens").alias("est_subword_tokens"),
     )
-    budget.write.mode("overwrite").parquet(os.path.join(output, "budget"))
-    summary["split_tokens"] = {
-        r["split"]: r["t"]
-        for r in corpus.groupBy("split").agg(F.sum("n_tokens").alias("t"))
-        .collect()
-    }
+    budget_rows = budget.collect()
+    spark.createDataFrame(budget_rows, budget.schema).coalesce(1) \
+        .write.mode("overwrite").parquet(os.path.join(output, "budget"))
+    split_tokens: dict = {}
+    for r in budget_rows:
+        split_tokens[r["split"]] = (
+            split_tokens.get(r["split"], 0) + r["total_tokens"])
+    summary["split_tokens"] = split_tokens
     _stage("budget")
 
     # -- train selection (optional token-grain mixture) -------------------
