@@ -1361,8 +1361,19 @@ def _flagged_windows(docs: DataFrame, k: int, id_col: str, text_col: str):
     paragraph_duplicates one level down: distinct on (id, hash) → ONE
     shuffle on a uniform composite key; per-hash distinct-doc count is
     map-side combinable; the duplicated-hash dimension is tiny vs the
-    corpus and AQE broadcasts it back onto occurrences."""
-    occ = _token_windows(docs, k, id_col, text_col)
+    corpus and AQE broadcasts it back onto occurrences.
+
+    The occurrence table materializes ONCE (r9): its lazy subtree —
+    the token split + per-window construction + explode + hash, the
+    whole heavy pass — is consumed by up to five subplans downstream
+    (the sharing aggregation, the per-doc totals, the flagged counts,
+    the run/island windows), and nothing in those shapes lets Spark
+    reuse an Exchange between them, so each one re-ran the pass.
+    Checkpointed rows are (id, win_index, win_hash) — 24 B per token
+    occurrence, the same order as the sharing shuffle this feeds.
+    Cluster form: setCheckpointDir + .checkpoint(), as in
+    neardup_clusters."""
+    occ = _token_windows(docs, k, id_col, text_col).localCheckpoint()
     shared = (
         occ.select(id_col, "win_hash").distinct()
         .groupBy("win_hash")
