@@ -351,8 +351,9 @@ def write_baseline(docs: DataFrame, path: str, lo: int = 0, hi: int = 128,
         lang_df, q_df = text_distributions(docs, n_bins)
         rows += [("lang_freq", str(r["bucket"]), float(r["freq"])) for r in lang_df.collect()]
         rows += [("quality_hist", str(r["bucket"]), float(r["freq"])) for r in q_df.collect()]
-    spark.createDataFrame(rows, "bucket_kind string, bucket string, freq double") \
-        .coalesce(1).write.mode("overwrite").parquet(path)
+    from ..sources.tables import tiny_table
+    tiny_table(spark, rows, "bucket_kind string, bucket string, freq double") \
+        .write.mode("overwrite").parquet(path)
 
 
 def load_baseline(spark, path: str) -> tuple[DataFrame, DataFrame]:

@@ -427,11 +427,13 @@ def build_ivf_index(embeddings: DataFrame, path: str, n_centroids: int = 16,
         _quantize_cells(assigned, id_col, vec_col).write.mode(
             "overwrite").partitionBy("cell").parquet(_q8_dir(path))
     spark = embeddings.sparkSession
-    cdf = spark.createDataFrame(
+    from ..sources.tables import tiny_table
+    cdf = tiny_table(
+        spark,
         [(i, centroids[i].tolist()) for i in range(len(centroids))],
         "cell int, centroid array<double>",
     )
-    cdf.coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    cdf.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
     counts = {
         r["cell"]: r["n"]
         for r in spark.read.parquet(os.path.join(path, "cells"))
@@ -587,9 +589,10 @@ def rebalance_ivf_cells(spark, path: str,
         counts[c] = sub_counts.get(c, 0)
         counts[new_id] = sub_counts.get(new_id, 0)
 
-    cdf = spark.createDataFrame(
-        sorted(cent_map.items()), "cell int, centroid array<double>")
-    cdf.coalesce(1).write.mode("overwrite").parquet(cpath)
+    from ..sources.tables import tiny_table
+    cdf = tiny_table(
+        spark, sorted(cent_map.items()), "cell int, centroid array<double>")
+    cdf.write.mode("overwrite").parquet(cpath)
     return _write_ivf_manifest(
         path, counts, n_appends=manifest["n_appends"],
         append_counts=manifest["append_counts"],

@@ -111,6 +111,21 @@ def write_documents_jsonl(df: DataFrame, path: str) -> None:
     df.write.mode("overwrite").json(path)
 
 
+def tiny_table(spark: SparkSession, rows, schema) -> DataFrame:
+    """createDataFrame for driver-local metadata rows as ONE partition.
+
+    The default ``createDataFrame(list)`` parallelizes the rows across
+    defaultParallelism mostly-empty PYTHON partitions; a downstream
+    ``coalesce(1)`` (the natural move for a tiny artifact write) then
+    evaluates all of them SERIALLY inside one task — ~130 ms of
+    Python-worker round-trip per partition, ~4 s per 12-row parquet
+    write on local[32] (measured r9). One slice = one round-trip; use
+    this for every metadata-sized artifact (budget tables, centroids,
+    tokenizer merge tables, drift baselines)."""
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def save_as_csv(df: DataFrame, path: str, header: bool = True) -> None:
     """Single-file CSV export — reference S4 (save_as_csv,
     gpt_intent_classifier.py:590-603, one golden CSV per metric table).

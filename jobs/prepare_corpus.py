@@ -64,6 +64,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from intent_classifier_service_spark.operators import (  # noqa: E402
     bpe, dedup, packing, sampling, textstats)
 from intent_classifier_service_spark.session import get_spark  # noqa: E402
+from intent_classifier_service_spark.sources import tables  # noqa: E402
 
 
 def _parse_weights(s: str) -> dict[str, float]:
@@ -225,10 +226,11 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
                 .select("doc_id", "text"),
                 num_merges=bpe_merges)
             vocab.unpersist()
-        spark.createDataFrame(
+        tables.tiny_table(
+            spark,
             [(i, left, right) for i, (left, right) in enumerate(merges)],
             "rank int, left string, right string",
-        ).coalesce(1).write.mode("overwrite").parquet(
+        ).write.mode("overwrite").parquet(
             os.path.join(output, "tokenizer"))
         summary["n_tokenizer_merges"] = len(merges)
         _stage("tokenizer_train")
@@ -261,7 +263,7 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
         F.sum("est_subword_tokens").alias("est_subword_tokens"),
     )
     budget_rows = budget.collect()
-    spark.createDataFrame(budget_rows, budget.schema).coalesce(1) \
+    tables.tiny_table(spark, budget_rows, budget.schema) \
         .write.mode("overwrite").parquet(os.path.join(output, "budget"))
     split_tokens: dict = {}
     for r in budget_rows:
