@@ -888,7 +888,15 @@ def _driver_union_find(spark, pdf, id_type) -> DataFrame:
     rows = [(v, find(v)) for v in vertices]
     schema = StructType([StructField("id", id_type),
                          StructField("cluster_id", id_type)])
-    return spark.createDataFrame(rows, schema)
+    # single-slice parallelize (r9, the tables.tiny_table rationale):
+    # the default createDataFrame spreads these driver-local rows over
+    # defaultParallelism mostly-empty Python partitions, and EVERY
+    # downstream consumer of the cluster table (losers filter, score
+    # join, keeper anti-join) re-evaluates them — one Python-worker
+    # round-trip per partition per consumer. One slice, one round-trip
+    # (~12 % off neardup_dedup_quality at sf0.1, A/B'd warm).
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
 
 
 def neardup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
