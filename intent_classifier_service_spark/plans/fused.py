@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions import spans as S
+from ..sources.tables import tiny_table
 from . import rules as R
 
 
@@ -154,8 +155,12 @@ def fused_verdicts_and_drift(docs: DataFrame, rules: R.RuleSet | None = None,
                            n_viol, rate,
                            rate <= rules.threshold_for(rule.rule_id)))
     by_schema = ", ".join(f"{g} {docs.schema[g].dataType.simpleString()}" for g in gb)
-    vd_part = spark.createDataFrame(
-        vd_out,
+    # tiny_table: these six frames are driver-local metadata rows with
+    # MULTIPLE downstream consumers in jobs/validate (rollup, gates,
+    # writes, rule-stats append) — the default createDataFrame costs
+    # one Python-worker round-trip per default partition PER consumer
+    vd_part = tiny_table(
+        spark, vd_out,
         f"{by_schema}, rule_id string, n_checked long, n_violations long, "
         "violation_rate double, pass boolean",
     )
@@ -163,25 +168,25 @@ def fused_verdicts_and_drift(docs: DataFrame, rules: R.RuleSet | None = None,
     # -- drift distributions: same normalization as drift_profile ------
     k_tot = sum(c for _, c in kind_rows) or 1
     o_tot = sum(c for _, c in off_rows) or 1
-    kind_df = spark.createDataFrame(
-        [(k, c / k_tot) for k, c in kind_rows], "bucket string, freq double"
-    )
-    off_df = spark.createDataFrame(
-        [(int(b), c / o_tot) for b, c in off_rows], "bucket int, freq double"
-    )
+    kind_df = tiny_table(
+        spark, [(k, c / k_tot) for k, c in kind_rows],
+        "bucket string, freq double")
+    off_df = tiny_table(
+        spark, [(int(b), c / o_tot) for b, c in off_rows],
+        "bucket int, freq double")
     # -- text distributions: same normalization as text_distributions --
     l_tot = sum(c for _, c in lang_rows) or 1
     q_tot = sum(c for _, c in qb_rows) or 1
-    lang_df = spark.createDataFrame(
-        [(k, c / l_tot) for k, c in lang_rows], "bucket string, freq double"
-    )
-    q_df = spark.createDataFrame(
-        [(int(b), c / q_tot) for b, c in qb_rows], "bucket int, freq double"
-    )
+    lang_df = tiny_table(
+        spark, [(k, c / l_tot) for k, c in lang_rows],
+        "bucket string, freq double")
+    q_df = tiny_table(
+        spark, [(int(b), c / q_tot) for b, c in qb_rows],
+        "bucket int, freq double")
     by_count_schema = ", ".join(
         f"{g} {docs.schema[g].dataType.simpleString()}" for g in gb
     )
-    counts_df = spark.createDataFrame(
-        count_rows, f"{by_count_schema}, dist string, bucket string, n long"
-    )
+    counts_df = tiny_table(
+        spark, count_rows,
+        f"{by_count_schema}, dist string, bucket string, n long")
     return vd_part, kind_df, off_df, lang_df, q_df, counts_df
