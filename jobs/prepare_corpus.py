@@ -183,7 +183,14 @@ def run(spark, docs, output: str, max_tokens: int = 2048,
         # components (and re-ran the whole MinHash pair generation)
         # a second time inside neardup_dedup
         deduped = dedup.neardup_dedup(exact, pairs, clusters=clusters)
-        summary["n_neardup_dropped"] = n_exact - deduped.count()
+        # loser count straight off the (tiny, candidates-only) cluster
+        # table: every loser id is present in `exact` (pairs were
+        # generated FROM exact), so n_exact - deduped.count() equals
+        # the non-survivor count exactly — without the extra
+        # corpus-sized anti-join pass the old summary count paid;
+        # `deduped` itself stays lazy until the corpus write
+        summary["n_neardup_dropped"] = clusters.filter(
+            F.col("id") != F.col("cluster_id")).count()
         _stage("neardup_dedup")
     else:
         deduped = exact
